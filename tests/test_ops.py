@@ -1,0 +1,226 @@
+"""Golden tests: our channels-last ops vs torch CPU semantics.
+
+The reference delegates all NN math to torch (src/modules.py); torch (CPU)
+is available here, so these tests check exact numerical parity of each
+primitive against the torch op it rebuilds.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from titanet_tpu.ops import (
+    AttentiveStatsPooling,
+    BatchNorm,
+    DepthwiseSeparableConv1d,
+    SamePadConv1d,
+    SqueezeExcitation,
+)
+
+
+def _rand(*shape, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(shape).astype(np.float32)
+
+
+@pytest.mark.parametrize("kernel_size,stride,dilation", [(3, 1, 1), (7, 1, 1), (1, 1, 1), (3, 2, 1), (5, 1, 2)])
+def test_same_pad_conv_matches_torch(kernel_size, stride, dilation):
+    B, T, CI, CO = 2, 37, 8, 16
+    x = _rand(B, T, CI)
+    w = _rand(CO, CI, kernel_size, seed=1)
+    b = _rand(CO, seed=2)
+
+    # torch: reference Conv1dSamePadding forward (src/modules.py:14-40)
+    xt = torch.from_numpy(x).transpose(1, 2)
+    pad = (
+        stride * (T - 1) - T + kernel_size + (dilation - 1) * (kernel_size - 1)
+    ) // 2
+    ref = torch.nn.functional.conv1d(
+        torch.nn.functional.pad(xt, (pad, pad)),
+        torch.from_numpy(w),
+        torch.from_numpy(b),
+        stride=stride,
+        dilation=dilation,
+    ).transpose(1, 2).numpy()
+
+    mod = SamePadConv1d(features=CO, kernel_size=kernel_size, stride=stride, dilation=dilation)
+    params = mod.init(jax.random.key(0), jnp.asarray(x))
+    # install torch weights: torch [CO, CI, K] -> WIO [K, CI, CO]
+    params = {"params": {"kernel": jnp.asarray(w.transpose(2, 1, 0)), "bias": jnp.asarray(b)}}
+    out = mod.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_depthwise_separable_matches_torch():
+    B, T, CI, CO, K = 2, 50, 12, 24, 7
+    x = _rand(B, T, CI)
+    w_dw = _rand(CI, 1, K, seed=3)  # groups=CI
+    b_dw = _rand(CI, seed=4)
+    w_pw = _rand(CO, CI, 1, seed=5)
+    b_pw = _rand(CO, seed=6)
+
+    xt = torch.from_numpy(x).transpose(1, 2)
+    pad = (K - 1) // 2
+    mid = torch.nn.functional.conv1d(
+        torch.nn.functional.pad(xt, (pad, pad)),
+        torch.from_numpy(w_dw), torch.from_numpy(b_dw), groups=CI,
+    )
+    ref = torch.nn.functional.conv1d(
+        mid, torch.from_numpy(w_pw), torch.from_numpy(b_pw)
+    ).transpose(1, 2).numpy()
+
+    mod = DepthwiseSeparableConv1d(features=CO, kernel_size=K)
+    params = {
+        "params": {
+            "depthwise": {
+                "kernel": jnp.asarray(w_dw.transpose(2, 1, 0)),
+                "bias": jnp.asarray(b_dw),
+            },
+            "pointwise": {
+                "kernel": jnp.asarray(w_pw.transpose(2, 1, 0)),
+                "bias": jnp.asarray(b_pw),
+            },
+        }
+    }
+    out = mod.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_batchnorm_train_and_eval_match_torch():
+    B, T, C = 4, 19, 6
+    x = _rand(B, T, C)
+    bn_t = torch.nn.BatchNorm1d(C)
+    with torch.no_grad():
+        bn_t.weight.copy_(torch.from_numpy(_rand(C, seed=7)))
+        bn_t.bias.copy_(torch.from_numpy(_rand(C, seed=8)))
+
+    mod = BatchNorm()
+    variables = {
+        "params": {
+            "scale": jnp.asarray(bn_t.weight.detach().numpy()),
+            "bias": jnp.asarray(bn_t.bias.detach().numpy()),
+        },
+        "batch_stats": {"mean": jnp.zeros(C), "var": jnp.ones(C)},
+    }
+
+    # two training steps to exercise running-stat updates
+    for seed in (10, 11):
+        xb = _rand(B, T, C, seed=seed)
+        xt = torch.from_numpy(xb).transpose(1, 2)
+        bn_t.train()
+        ref = bn_t(xt).transpose(1, 2).detach().numpy()
+        out, updates = mod.apply(
+            variables, jnp.asarray(xb), use_running_average=False, mutable=["batch_stats"]
+        )
+        variables = {"params": variables["params"], **updates}
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+    np.testing.assert_allclose(
+        np.asarray(variables["batch_stats"]["mean"]),
+        bn_t.running_mean.numpy(), rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(variables["batch_stats"]["var"]),
+        bn_t.running_var.numpy(), rtol=1e-4, atol=1e-5,
+    )
+
+    # eval mode uses running stats
+    bn_t.eval()
+    xe = _rand(B, T, C, seed=12)
+    ref = bn_t(torch.from_numpy(xe).transpose(1, 2)).transpose(1, 2).detach().numpy()
+    out = mod.apply(variables, jnp.asarray(xe), use_running_average=True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_batchnorm_2d_input():
+    B, C = 8, 5
+    x = _rand(B, C)
+    bn_t = torch.nn.BatchNorm1d(C)
+    bn_t.train()
+    ref = bn_t(torch.from_numpy(x)).detach().numpy()
+    mod = BatchNorm()
+    variables = mod.init(jax.random.key(0), jnp.asarray(x), use_running_average=False)
+    out, _ = mod.apply(
+        variables, jnp.asarray(x), use_running_average=False, mutable=["batch_stats"]
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_squeeze_excitation_matches_torch():
+    B, T, C, R = 3, 21, 32, 16
+    x = _rand(B, T, C)
+    w1 = _rand(C // R, C, seed=20)
+    w2 = _rand(C, C // R, seed=21)
+
+    xt = torch.from_numpy(x).transpose(1, 2)
+    squeezed = xt.mean(dim=-1)
+    e = torch.sigmoid(
+        torch.nn.functional.linear(
+            torch.relu(torch.nn.functional.linear(squeezed, torch.from_numpy(w1))),
+            torch.from_numpy(w2),
+        )
+    )
+    ref = (xt * e.unsqueeze(-1)).transpose(1, 2).numpy()
+
+    mod = SqueezeExcitation(reduction=R)
+    params = {
+        "params": {
+            "fc1": {"kernel": jnp.asarray(w1.T)},
+            "fc2": {"kernel": jnp.asarray(w2.T)},
+        }
+    }
+    out = mod.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_attentive_stats_pooling_matches_reference_math():
+    B, T, C, H = 2, 15, 24, 8
+    x = _rand(B, T, C)
+    w_in = _rand(H, C, seed=30)
+    b_in = _rand(H, seed=31)
+    w_out = _rand(C, H, seed=32)
+    b_out = _rand(C, seed=33)
+
+    # reference math (src/models.py:553-584) in torch
+    xt = torch.from_numpy(x).transpose(1, 2)  # [B, C, T]
+    energies = torch.nn.functional.linear(
+        torch.tanh(
+            torch.nn.functional.linear(
+                xt.transpose(1, 2), torch.from_numpy(w_in), torch.from_numpy(b_in)
+            )
+        ),
+        torch.from_numpy(w_out),
+        torch.from_numpy(b_out),
+    ).transpose(1, 2)
+    alphas = torch.softmax(energies, dim=2)
+    means = torch.sum(alphas * xt, dim=2)
+    residuals = torch.sum(alphas * xt**2, dim=2) - means**2
+    stds = torch.sqrt(residuals.clamp(min=1e-6))
+    ref = torch.cat([means, stds], dim=1).numpy()
+
+    mod = AttentiveStatsPooling(hidden_size=H)
+    params = {
+        "params": {
+            "in_linear": {"kernel": jnp.asarray(w_in.T), "bias": jnp.asarray(b_in)},
+            "out_linear": {"kernel": jnp.asarray(w_out.T), "bias": jnp.asarray(b_out)},
+        }
+    }
+    out = mod.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_masked_pooling_ignores_padding():
+    B, T, C = 2, 10, 16
+    x = jnp.asarray(_rand(B, T, C))
+    mod = AttentiveStatsPooling(hidden_size=4)
+    params = mod.init(jax.random.key(0), x)
+    mask = jnp.ones((B, T)).at[:, 7:].set(0.0)
+    out_masked = mod.apply(params, x, mask=mask)
+    # garbage in padded frames must not change the masked output
+    x_garbage = x.at[:, 7:, :].set(99.0)
+    out_masked2 = mod.apply(params, x_garbage, mask=mask)
+    np.testing.assert_allclose(
+        np.asarray(out_masked), np.asarray(out_masked2), rtol=1e-5, atol=1e-5
+    )

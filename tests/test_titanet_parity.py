@@ -1,0 +1,116 @@
+"""Golden parity: our TitaNet vs the reference torch implementation.
+
+Imports the reference model code directly from /root/reference/src (read-only;
+models/modules/losses are torch-only and import cleanly), copies its weights
+into our pytrees via the checkpoint converter, and compares outputs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from titanet_tpu.models import TitaNet, count_params, get_titanet, l2_normalize
+from titanet_tpu.utils.torch_compat import convert_titanet_state_dict
+
+
+@pytest.fixture(scope="module")
+def ref_models(reference_src):
+    import models as ref_models  # noqa: F401 (from /root/reference/src)
+
+    return ref_models
+
+
+def _make_pair(ref_models, n_mega_blocks=2, hidden=64, n_mels=80, out=96, emb=32):
+    torch.manual_seed(0)
+    tmodel = ref_models.TitaNet(
+        n_mels=n_mels,
+        n_mega_blocks=n_mega_blocks,
+        n_sub_blocks=3,
+        encoder_hidden_size=hidden,
+        encoder_output_size=out,
+        embedding_size=emb,
+        mega_block_kernel_size=3,
+        attention_hidden_size=16,
+        dropout=0.0,
+    )
+    tmodel.eval()
+    jmodel = TitaNet(
+        n_mega_blocks=n_mega_blocks,
+        n_sub_blocks=3,
+        encoder_hidden_size=hidden,
+        encoder_output_size=out,
+        embedding_size=emb,
+        mega_block_kernel_size=3,
+        attention_hidden_size=16,
+        dropout=0.0,
+    )
+    params, stats = convert_titanet_state_dict(tmodel.state_dict())
+    variables = {
+        "params": jax.tree.map(jnp.asarray, params),
+        "batch_stats": jax.tree.map(jnp.asarray, stats),
+    }
+    return tmodel, jmodel, variables
+
+
+def test_titanet_forward_matches_reference(ref_models):
+    tmodel, jmodel, variables = _make_pair(ref_models)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, 80, 57)).astype(np.float32)  # [B, M, T] torch layout
+
+    with torch.no_grad():
+        ref_emb = tmodel(torch.from_numpy(x)).numpy()  # normalized (inference mode)
+
+    out = jmodel.apply(variables, jnp.asarray(x.transpose(0, 2, 1)), train=False)
+    ours = np.asarray(l2_normalize(out))
+    np.testing.assert_allclose(ours, ref_emb, rtol=1e-4, atol=1e-5)
+
+    # cosine drift — the headline parity budget is <1e-3 (BASELINE.md)
+    cos = (ours * ref_emb).sum(-1)
+    assert np.all(1.0 - cos < 1e-5), f"cosine drift too high: {1 - cos}"
+
+
+def test_titanet_param_counts_match_reference(ref_models):
+    # exact per-architecture param-count equality with the reference builder
+    for size, hidden, kernel in [("s", 256, 3)]:
+        tmodel = ref_models.TitaNet(
+            n_mels=80,
+            n_mega_blocks=17,
+            n_sub_blocks=3,
+            encoder_hidden_size=hidden,
+            encoder_output_size=1536,
+            embedding_size=192,
+            mega_block_kernel_size=kernel,
+        )
+        ref_count = int(tmodel.get_n_params())
+        jmodel = get_titanet(model_size=size, n_mega_blocks=17)
+        assert count_params(jmodel) == ref_count
+
+
+def test_titanet_paper_param_targets():
+    # paper targets (src/models.py:173): S/M/L = 6.4/13.4/25.3 M.
+    # get_titanet with n_mega_blocks=None runs the search (src/models.py:230-260).
+    for size, target in [("s", 6.4), ("m", 13.4), ("l", 25.3)]:
+        model = get_titanet(model_size=size)  # auto n_mega_blocks search
+        params_m = count_params(model) / 1e6
+        assert abs(params_m - target) / target < 0.05, (size, params_m)
+
+
+def test_titanet_batch_independence():
+    """Gradient-dependency check (reference chart_dependencies,
+    src/utils.py:451-468): one batch element's embedding must not depend on
+    other elements' inputs in eval mode."""
+    model = TitaNet(n_mega_blocks=1, encoder_hidden_size=32, encoder_output_size=48,
+                    embedding_size=16, attention_hidden_size=8, dropout=0.0)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((4, 20, 80)), jnp.float32)
+    variables = model.init(jax.random.key(0), x)
+
+    def single_out(inputs):
+        return model.apply(variables, inputs, train=False)[2].sum()
+
+    g = jax.grad(single_out)(x)
+    g = np.asarray(g)
+    assert np.abs(g[2]).max() > 0
+    others = np.abs(np.delete(g, 2, axis=0)).max()
+    assert others == 0.0, f"cross-batch leakage: {others}"

@@ -1,0 +1,322 @@
+"""Typed configuration system.
+
+Replaces the reference's untyped YAML->``Struct`` loader
+(``/root/reference/src/utils.py:31-63``, ``/root/reference/parameters.yml``)
+with validated dataclasses. The YAML schema is kept compatible with the
+reference ``parameters.yml`` so existing config files load unchanged, while
+adding TPU-specific knobs (mesh shape, dtype policy, bucketing) that the
+reference did not have.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, List, Optional
+
+import yaml
+
+
+def _build(cls, data: dict):
+    """Recursively build a dataclass from a (possibly partial) dict."""
+    if data is None:
+        data = {}
+    kwargs = {}
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    for key, value in data.items():
+        if key not in fields:
+            raise ValueError(f"Unknown config key {key!r} for {cls.__name__}")
+        ftype = fields[key].type
+        if dataclasses.is_dataclass(_resolve(ftype)) and isinstance(value, dict):
+            kwargs[key] = _build(_resolve(ftype), value)
+        else:
+            kwargs[key] = value
+    # Fill nested dataclass defaults for unspecified sections
+    for name, f in fields.items():
+        if name not in kwargs and dataclasses.is_dataclass(_resolve(f.type)):
+            kwargs[name] = _resolve(f.type)()
+    return cls(**kwargs)
+
+
+_TYPES: dict = {}
+
+
+def _resolve(tp):
+    if isinstance(tp, str):
+        return _TYPES.get(tp, tp)
+    return tp
+
+
+def _register(cls):
+    _TYPES[cls.__name__] = cls
+    return cls
+
+
+@_register
+@dataclass
+class OptimizerConfig:
+    type: str = "adam"
+    start_lr: float = 1e-3
+    scheduler: bool = False  # cosine decay to end_lr over all epochs
+    end_lr: float = 1e-5
+    weight_decay: float = 0.0
+    # TPU additions (absent in reference)
+    warmup_epochs: int = 0
+    grad_clip_norm: Optional[float] = None
+
+
+@_register
+@dataclass
+class TrainingConfig:
+    optimizer: "OptimizerConfig" = field(default_factory=OptimizerConfig)
+    checkpoints_path: str = "./checkpoints"
+    checkpoints_frequency: Optional[int] = 25  # epochs
+    batch_size: int = 8
+    epochs: int = 250
+    loss: str = "ce"
+    # TPU additions
+    resume: bool = False  # resume from latest checkpoint if present
+    dtype: str = "float32"  # compute dtype: float32 | bfloat16
+
+
+@_register
+@dataclass
+class DatasetConfig:
+    root: str = "./data"
+    name: str = "librispeech"  # librispeech | vctk | voxceleb1 | voxceleb2 | synthetic
+
+
+@_register
+@dataclass
+class FiguresConfig:
+    enabled: bool = False
+    path: str = "./figures"
+    reduction_method: str = "svd"
+
+
+@_register
+@dataclass
+class ValidationConfig:
+    enabled: bool = True
+    every: int = 2
+    batch_size: int = 8
+    num_utterances_per_speaker: int = 10
+
+
+@_register
+@dataclass
+class TestConfig:
+    enabled: bool = True
+    mindcf_p_target: float = 0.01
+    mindcf_c_fa: float = 1.0
+    mindcf_c_miss: float = 1.0
+    num_speakers: int = 10
+    num_utterances_per_speaker: int = 10
+
+
+@_register
+@dataclass
+class SphereLossConfig:
+    margin: float = 4.0
+    scale: Optional[float] = None
+
+
+@_register
+@dataclass
+class CosLossConfig:
+    margin: float = 0.2
+    scale: float = 64.0
+
+
+@_register
+@dataclass
+class ArcLossConfig:
+    margin: float = 0.2
+    scale: float = 30.0
+
+
+@_register
+@dataclass
+class LossConfig:
+    sphere: "SphereLossConfig" = field(default_factory=SphereLossConfig)
+    cos: "CosLossConfig" = field(default_factory=CosLossConfig)
+    arc: "ArcLossConfig" = field(default_factory=ArcLossConfig)
+
+
+@_register
+@dataclass
+class DumbConfig:
+    enabled: bool = False
+    n_layers: int = 10
+    hidden_size: int = 256
+
+
+@_register
+@dataclass
+class TitanetConfig:
+    enabled: bool = True
+    model_size: str = "s"
+    n_mega_blocks: Optional[int] = 17
+    attention_hidden_size: int = 128
+    simple_pool: bool = False
+    dropout: float = 0.1
+
+
+@_register
+@dataclass
+class BaselineConfig:
+    enabled: bool = False
+    n_layers: int = 3
+    hidden_size: int = 768
+    segment_length: int = 160
+    average: bool = True
+
+
+@_register
+@dataclass
+class WandbConfig:
+    enabled: bool = False
+    entity: str = ""
+    project: str = "titanet"
+    api_key_file: str = "./init/wandb_api_key_file"
+
+
+@_register
+@dataclass
+class GenericConfig:
+    seed: int = 42
+    workers: int = 2
+    log_console: bool = False
+    chart_dependencies: bool = False
+    embedding_size: int = 192
+
+
+@_register
+@dataclass
+class SpectrogramConfig:
+    n_fft: int = 512
+    win_length: int = 25  # ms
+    hop_length: int = 10  # ms
+    n_mels: int = 80
+
+
+@_register
+@dataclass
+class AudioConfig:
+    sample_rate: int = 16000
+    spectrogram: "SpectrogramConfig" = field(default_factory=SpectrogramConfig)
+
+
+@_register
+@dataclass
+class RirConfig:
+    corpora_path: str = "./data/rirs"
+
+
+@_register
+@dataclass
+class ChunkConfig:
+    max_length: float = 3.0  # seconds
+    lengths: List[float] = field(default_factory=lambda: [1.5, 2.0, 3.0])
+
+
+@_register
+@dataclass
+class SpeedConfig:
+    min: float = 0.95
+    max: float = 1.05
+
+
+@_register
+@dataclass
+class SpecaugmentConfig:
+    freq_mask_ratio: float = 0.35
+    freq_mask_num: int = 1
+    time_mask_ratio: float = 0.15
+    time_mask_num: int = 1
+
+
+@_register
+@dataclass
+class AugmentationConfig:
+    probability: float = 0.5
+    enable: List[str] = field(default_factory=lambda: ["chunk"])
+    rir: "RirConfig" = field(default_factory=RirConfig)
+    chunk: "ChunkConfig" = field(default_factory=ChunkConfig)
+    speed: "SpeedConfig" = field(default_factory=SpeedConfig)
+    specaugment: "SpecaugmentConfig" = field(default_factory=SpecaugmentConfig)
+
+
+@_register
+@dataclass
+class MeshConfig:
+    """TPU mesh / parallelism config (new capability vs the reference,
+    which was single-device only — SURVEY.md §2.3)."""
+
+    data_axis: str = "data"
+    num_devices: Optional[int] = None  # None = all visible devices
+
+
+@_register
+@dataclass
+class Config:
+    dataset: "DatasetConfig" = field(default_factory=DatasetConfig)
+    training: "TrainingConfig" = field(default_factory=TrainingConfig)
+    figures: "FiguresConfig" = field(default_factory=FiguresConfig)
+    validation: "ValidationConfig" = field(default_factory=ValidationConfig)
+    test: "TestConfig" = field(default_factory=TestConfig)
+    loss: "LossConfig" = field(default_factory=LossConfig)
+    dumb: "DumbConfig" = field(default_factory=DumbConfig)
+    titanet: "TitanetConfig" = field(default_factory=TitanetConfig)
+    baseline: "BaselineConfig" = field(default_factory=BaselineConfig)
+    wandb: "WandbConfig" = field(default_factory=WandbConfig)
+    generic: "GenericConfig" = field(default_factory=GenericConfig)
+    audio: "AudioConfig" = field(default_factory=AudioConfig)
+    augmentation: "AugmentationConfig" = field(default_factory=AugmentationConfig)
+    mesh: "MeshConfig" = field(default_factory=MeshConfig)
+
+    def validate(self) -> "Config":
+        assert self.training.loss in ("ce", "sphere", "cos", "arc", "ge2e"), (
+            f"Unknown loss {self.training.loss!r}"
+        )
+        assert self.titanet.model_size.lower() in ("s", "m", "l"), (
+            f"Unsupported model size {self.titanet.model_size!r}"
+        )
+        assert self.training.dtype in ("float32", "bfloat16")
+        assert self.audio.spectrogram.n_fft > 0
+        assert 0.0 <= self.augmentation.probability <= 1.0
+        n_enabled = sum(
+            [self.dumb.enabled, self.baseline.enabled and not self.dumb.enabled]
+        )
+        del n_enabled  # model selection precedence mirrors reference train.py:87-121
+        return self
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "Config":
+        return _build(cls, data).validate()
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "Config":
+        with open(path, "r") as f:
+            data = yaml.safe_load(f)
+        return cls.from_dict(data or {})
+
+
+def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) -> Config:
+    """Load a config from YAML with optional ``{"a.b.c": value}`` overrides."""
+    cfg = Config.from_yaml(path) if path else Config()
+    if overrides:
+        data = cfg.to_dict()
+        for dotted, value in overrides.items():
+            node: Any = data
+            *parents, leaf = dotted.split(".")
+            for p in parents:
+                node = node[p]
+            if leaf not in node:
+                raise ValueError(f"Unknown override key {dotted!r}")
+            node[leaf] = value
+        cfg = Config.from_dict(data)
+    return cfg.validate()

@@ -1,0 +1,21 @@
+"""Model zoo: TitaNet S/M/L, d-vector LSTM baseline, smoke-test convnet."""
+
+import jax.numpy as jnp
+
+from titanet_tpu.models.titanet import (  # noqa: F401
+    TARGET_PARAMS,
+    ConvBlock1d,
+    Decoder,
+    Encoder,
+    MegaBlock,
+    TitaNet,
+    count_params,
+    find_n_mega_blocks,
+    get_titanet,
+)
+
+
+def l2_normalize(x, axis=-1, eps=1e-12):
+    """torch F.normalize(p=2) semantics (reference src/models.py:333)."""
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(norm, eps)

@@ -1,0 +1,391 @@
+"""TitaNet (Koluguri et al., arXiv:2110.04410), rebuilt TPU-first.
+
+Structure mirrors the reference (``/root/reference/src/models.py:162-584``)
+capability-for-capability, in channels-last ``[B, T, C]`` layout:
+
+  Encoder: prolog ConvBlock(n_mels->H, k=3)
+           -> N x MegaBlock(3 depthwise sub-blocks + SE, conv-BN skip)
+           -> epilog ConvBlock(H->1536, k=1)
+  Decoder: AttentiveStatsPooling -> BN -> Linear(3072->E) -> BN
+
+Differences from the reference by design (not by accident):
+
+- the model NEVER owns the loss: ``__call__`` returns raw embeddings
+  ``[B, E]``; classification heads live in ``titanet_tpu.losses`` with their
+  own param tree (the reference hid head weights inside loss objects so they
+  were silently dropped from checkpoints — src/models.py:318-339,
+  src/learn.py:188-195),
+- BatchNorm state is explicit (flax ``batch_stats``), dropout takes a PRNG
+  key, train/eval is a static flag — jit/pjit-safe,
+- optional ``mask`` input for length-aware statistics (off = reference
+  parity with pad-included stats).
+
+Size presets (src/models.py:296-316): S/M/L = hidden 256/512/1024 with
+mega-kernel 3/7/11; common: 3 sub-blocks, encoder out 1536, embedding 192.
+Param targets {s: 6.4M, m: 13.4M, l: 25.3M} (src/models.py:173).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from titanet_tpu.ops.conv import DepthwiseSeparableConv1d, SamePadConv1d, torch_conv_init
+from titanet_tpu.ops.norm import BatchNorm
+from titanet_tpu.ops.pooling import AttentiveStatsPooling, SimplePooling
+from titanet_tpu.ops.se import SqueezeExcitation
+
+TARGET_PARAMS = {"s": 6.4, "m": 13.4, "l": 25.3}
+
+
+class ConvBlock1d(nn.Module):
+    """conv -> BatchNorm -> activation -> dropout (reference ConvBlock1d,
+    src/modules.py:96-148)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    activation: Optional[str] = "relu"
+    dropout: float = 0.0
+    depthwise: bool = False
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, train: bool = False, mask: Optional[jax.Array] = None
+    ) -> jax.Array:
+        conv_cls = DepthwiseSeparableConv1d if self.depthwise else SamePadConv1d
+        x = conv_cls(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            stride=self.stride,
+            dilation=self.dilation,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(x)
+        x = BatchNorm(
+            use_running_average=not train,
+            axis_name=self.axis_name if train else None,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="norm",
+        )(x, mask=mask if train else None)
+        if self.activation == "relu":
+            x = nn.relu(x)
+        elif self.activation == "tanh":
+            x = jnp.tanh(x)
+        elif self.activation is not None:
+            raise ValueError(f"Incompatible activation {self.activation!r}")
+        if self.dropout > 0:
+            x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
+        return x
+
+
+class MegaBlock(nn.Module):
+    """3 depthwise ConvBlocks -> SE, summed with a 1x1-conv+BN skip branch,
+    then ReLU + dropout (reference MegaBlock, src/models.py:407-472)."""
+
+    features: int
+    kernel_size: int
+    n_sub_blocks: int = 3
+    se_reduction: int = 16
+    dropout: float = 0.5
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, train: bool = False, mask: Optional[jax.Array] = None
+    ) -> jax.Array:
+        y = x
+        for i in range(self.n_sub_blocks):
+            y = ConvBlock1d(
+                features=self.features,
+                kernel_size=self.kernel_size,
+                activation="relu",
+                dropout=self.dropout,
+                depthwise=True,
+                axis_name=self.axis_name,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"sub_block_{i}",
+            )(y, train=train, mask=mask)
+        y = SqueezeExcitation(
+            reduction=self.se_reduction,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="se",
+        )(y, mask=mask)
+
+        skip = SamePadConv1d(
+            features=self.features,
+            kernel_size=1,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="skip_conv",
+        )(x)
+        skip = BatchNorm(
+            use_running_average=not train,
+            axis_name=self.axis_name if train else None,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="skip_norm",
+        )(skip, mask=mask if train else None)
+
+        out = nn.relu(skip + y)
+        return nn.Dropout(rate=self.dropout, deterministic=not train)(out)
+
+
+class Encoder(nn.Module):
+    """Prolog -> N MegaBlocks -> epilog (reference Encoder,
+    src/models.py:342-404). Input [B, T, n_mels] -> output [B, T, output_size]."""
+
+    n_mega_blocks: int
+    n_sub_blocks: int = 3
+    hidden_size: int = 256
+    output_size: int = 1536
+    mega_block_kernel_size: int = 3
+    prolog_kernel_size: int = 3
+    epilog_kernel_size: int = 1
+    se_reduction: int = 16
+    dropout: float = 0.5
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, train: bool = False, mask: Optional[jax.Array] = None
+    ) -> jax.Array:
+        common = dict(
+            axis_name=self.axis_name, dtype=self.dtype, param_dtype=self.param_dtype
+        )
+        x = ConvBlock1d(
+            features=self.hidden_size,
+            kernel_size=self.prolog_kernel_size,
+            name="prolog",
+            **common,
+        )(x, train=train, mask=mask)
+        for i in range(self.n_mega_blocks):
+            x = MegaBlock(
+                features=self.hidden_size,
+                kernel_size=self.mega_block_kernel_size,
+                n_sub_blocks=self.n_sub_blocks,
+                se_reduction=self.se_reduction,
+                dropout=self.dropout,
+                name=f"mega_block_{i}",
+                **common,
+            )(x, train=train, mask=mask)
+        x = ConvBlock1d(
+            features=self.output_size,
+            kernel_size=self.epilog_kernel_size,
+            name="epilog",
+            **common,
+        )(x, train=train, mask=mask)
+        return x
+
+
+class Decoder(nn.Module):
+    """Attentive stats pooling -> BN -> Linear -> BN (reference Decoder,
+    src/models.py:475-529). Input [B, T, C] -> embedding [B, E]."""
+
+    embedding_size: int = 192
+    attention_hidden_size: int = 128
+    simple_pool: bool = False
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, train: bool = False, mask: Optional[jax.Array] = None
+    ) -> jax.Array:
+        ch = x.shape[-1]
+        if self.simple_pool:
+            pooled = SimplePooling(
+                dtype=self.dtype, param_dtype=self.param_dtype, name="pool"
+            )(x, mask=mask)
+        else:
+            pooled = AttentiveStatsPooling(
+                hidden_size=self.attention_hidden_size,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="pool",
+            )(x, mask=mask)
+            pooled = BatchNorm(
+                use_running_average=not train,
+                axis_name=self.axis_name if train else None,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="pool_norm",
+            )(pooled)
+        emb = nn.Dense(
+            self.embedding_size,
+            kernel_init=torch_conv_init(ch * 2),
+            bias_init=torch_conv_init(ch * 2),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="linear",
+        )(pooled)
+        emb = BatchNorm(
+            use_running_average=not train,
+            axis_name=self.axis_name if train else None,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="linear_norm",
+        )(emb)
+        return emb
+
+
+class TitaNet(nn.Module):
+    """Full TitaNet: returns raw (unnormalized) embeddings ``[B, E]``.
+
+    Input is channels-last ``[B, T, n_mels]``. Use
+    :func:`titanet_tpu.models.l2_normalize` for inference-mode unit-norm
+    embeddings (reference normalizes at src/models.py:333).
+    """
+
+    n_mega_blocks: int = 17
+    n_sub_blocks: int = 3
+    encoder_hidden_size: int = 256
+    encoder_output_size: int = 1536
+    embedding_size: int = 192
+    mega_block_kernel_size: int = 3
+    prolog_kernel_size: int = 3
+    epilog_kernel_size: int = 1
+    attention_hidden_size: int = 128
+    se_reduction: int = 16
+    simple_pool: bool = False
+    dropout: float = 0.5
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, train: bool = False, mask: Optional[jax.Array] = None
+    ) -> jax.Array:
+        enc = Encoder(
+            n_mega_blocks=self.n_mega_blocks,
+            n_sub_blocks=self.n_sub_blocks,
+            hidden_size=self.encoder_hidden_size,
+            output_size=self.encoder_output_size,
+            mega_block_kernel_size=self.mega_block_kernel_size,
+            prolog_kernel_size=self.prolog_kernel_size,
+            epilog_kernel_size=self.epilog_kernel_size,
+            se_reduction=self.se_reduction,
+            dropout=self.dropout,
+            axis_name=self.axis_name,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="encoder",
+        )(x, train=train, mask=mask)
+        return Decoder(
+            embedding_size=self.embedding_size,
+            attention_hidden_size=self.attention_hidden_size,
+            simple_pool=self.simple_pool,
+            axis_name=self.axis_name,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="decoder",
+        )(enc, train=train, mask=mask)
+
+
+_SIZE_PRESETS = {
+    "s": dict(encoder_hidden_size=256, mega_block_kernel_size=3),
+    "m": dict(encoder_hidden_size=512, mega_block_kernel_size=7),
+    "l": dict(encoder_hidden_size=1024, mega_block_kernel_size=11),
+}
+
+
+def get_titanet(
+    embedding_size: int = 192,
+    n_mels: int = 80,
+    n_mega_blocks: Optional[int] = None,
+    model_size: str = "s",
+    attention_hidden_size: int = 128,
+    simple_pool: bool = False,
+    dropout: float = 0.5,
+    dtype: Optional[jnp.dtype] = None,
+    axis_name: Optional[str] = None,
+    head_params_fn=None,
+) -> TitaNet:
+    """Size-preset constructor (reference get_titanet, src/models.py:262-316).
+
+    If ``n_mega_blocks`` is None, picks the count whose parameter total is
+    closest to the paper target (reference find_n_mega_blocks,
+    src/models.py:230-260) — computed via ``jax.eval_shape`` so no FLOPs or
+    memory are spent building 19 models.
+    """
+    size = model_size.lower()
+    assert size in _SIZE_PRESETS, f"Unsupported model size {model_size!r}"
+    if n_mega_blocks is None:
+        n_mega_blocks = find_n_mega_blocks(
+            embedding_size,
+            n_mels,
+            size,
+            attention_hidden_size=attention_hidden_size,
+            simple_pool=simple_pool,
+            head_params_fn=head_params_fn,
+        )
+    return TitaNet(
+        n_mega_blocks=n_mega_blocks,
+        n_sub_blocks=3,
+        encoder_output_size=1536,
+        embedding_size=embedding_size,
+        attention_hidden_size=attention_hidden_size,
+        simple_pool=simple_pool,
+        dropout=dropout,
+        dtype=dtype,
+        axis_name=axis_name,
+        **_SIZE_PRESETS[size],
+    )
+
+
+def count_params(model: nn.Module, n_mels: int = 80) -> int:
+    """Parameter count via shape-only tracing (no allocation/compute)."""
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), jnp.zeros((1, 16, n_mels)))
+    )
+    leaves = jax.tree.leaves(shapes["params"])
+    return int(sum(int(jnp.prod(jnp.asarray(l.shape))) for l in leaves))
+
+
+def find_n_mega_blocks(
+    embedding_size: int = 192,
+    n_mels: int = 80,
+    model_size: str = "s",
+    trials=None,
+    attention_hidden_size: int = 128,
+    simple_pool: bool = False,
+    head_params_fn=None,
+) -> int:
+    """Pick n_mega_blocks with param count closest to the paper target
+    (reference src/models.py:230-260). ``head_params_fn(embedding_size)``
+    optionally adds the classification-head parameter count, mirroring the
+    reference's inclusion of loss-module params in ``model.parameters()``."""
+    trials = trials if trials is not None else range(1, 20)
+    target = TARGET_PARAMS[model_size.lower()]
+    head = head_params_fn(embedding_size) if head_params_fn else 0
+    best, best_dist = None, float("inf")
+    for n in trials:
+        model = TitaNet(
+            n_mega_blocks=n,
+            embedding_size=embedding_size,
+            attention_hidden_size=attention_hidden_size,
+            simple_pool=simple_pool,
+            **_SIZE_PRESETS[model_size.lower()],
+        )
+        params_m = (count_params(model, n_mels) + head) / 1e6
+        dist = abs(target - params_m)
+        if dist < best_dist:
+            best, best_dist = n, dist
+    return best

@@ -1,0 +1,168 @@
+"""1D convolution primitives in channels-last ``[B, T, C]`` layout.
+
+TPU-first rebuild of the reference primitives in
+``/root/reference/src/modules.py``:
+
+- ``SamePadConv1d`` — same-padding conv compatible with stride/dilation,
+  matching the reference's on-the-fly padding formula
+  (``src/modules.py:30-35``) so sequence length is preserved for stride 1.
+- ``DepthwiseSeparableConv1d`` — grouped K-tap conv + 1x1 pointwise
+  (``src/modules.py:43-93``). The pointwise conv is expressed as a plain
+  matmul so XLA tiles it directly onto the MXU.
+
+Layout rationale: the reference uses torch's ``[B, C, T]``; on TPU the last
+dimension maps to the 128-wide lane dimension, so we keep channels last —
+pointwise convs become ``[B*T, C] @ [C, F]`` matmuls and depthwise convs
+vectorize across channels on the VPU.
+
+Parameter initialization reproduces torch's Conv1d defaults
+(kaiming_uniform with a=sqrt(5) => U(-1/sqrt(fan_in), 1/sqrt(fan_in)))
+so training dynamics match the reference.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def same_padding(length: int, kernel_size: int, stride: int, dilation: int) -> int:
+    """Reference padding formula (src/modules.py:30-35), applied to both sides."""
+    return (
+        stride * (length - 1) - length + kernel_size + (dilation - 1) * (kernel_size - 1)
+    ) // 2
+
+
+def torch_conv_init(fan_in: int):
+    """torch.nn.Conv1d/Linear default init: U(-1/sqrt(fan_in), +1/sqrt(fan_in))."""
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def conv1d_same(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+    stride: int = 1,
+    dilation: int = 1,
+    groups: int = 1,
+) -> jax.Array:
+    """Functional same-padded 1D conv.
+
+    Args:
+      x: ``[B, T, C_in]``.
+      kernel: ``[K, C_in // groups, C_out]`` (WIO layout).
+      bias: optional ``[C_out]``.
+
+    Returns ``[B, T_out, C_out]`` with ``T_out == T`` for stride 1 / odd K.
+    """
+    k = kernel.shape[0]
+    pad = same_padding(x.shape[1], k, stride, dilation)
+    out = jax.lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        window_strides=(stride,),
+        padding=[(pad, pad)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+    )
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+class SamePadConv1d(nn.Module):
+    """Same-padding 1D convolution (reference ``Conv1dSamePadding``,
+    src/modules.py:5-40), channels-last."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        assert in_ch % self.groups == 0, "channels must divide groups"
+        fan_in = (in_ch // self.groups) * self.kernel_size
+        kernel = self.param(
+            "kernel",
+            torch_conv_init(fan_in),
+            (self.kernel_size, in_ch // self.groups, self.features),
+            self.param_dtype,
+        )
+        bias = (
+            self.param("bias", torch_conv_init(fan_in), (self.features,), self.param_dtype)
+            if self.use_bias
+            else None
+        )
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        if self.kernel_size == 1 and self.stride == 1 and self.groups == 1:
+            # Pointwise conv as a direct matmul — MXU fast path.
+            out = jnp.einsum(
+                "btc,cf->btf",
+                x,
+                kernel[0].astype(x.dtype),
+                preferred_element_type=x.dtype,
+            )
+            if bias is not None:
+                out = out + bias.astype(out.dtype)
+            return out
+        return conv1d_same(
+            x, kernel, bias, stride=self.stride, dilation=self.dilation, groups=self.groups
+        )
+
+
+class DepthwiseSeparableConv1d(nn.Module):
+    """Depthwise (grouped, K-tap) conv followed by a pointwise 1x1 conv.
+
+    Mirrors reference ``DepthwiseConv1d`` (src/modules.py:43-93): the
+    depthwise stage keeps channel count, the pointwise stage maps to
+    ``features`` output channels. Both stages carry a bias, as in torch.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        x = SamePadConv1d(
+            features=in_ch,
+            kernel_size=self.kernel_size,
+            stride=self.stride,
+            dilation=self.dilation,
+            groups=in_ch,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="depthwise",
+        )(x)
+        x = SamePadConv1d(
+            features=self.features,
+            kernel_size=1,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="pointwise",
+        )(x)
+        return x

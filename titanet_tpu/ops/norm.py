@@ -1,0 +1,107 @@
+"""BatchNorm with torch-exact semantics, as explicit functional state.
+
+The reference relies on ``torch.nn.BatchNorm1d`` everywhere
+(``/root/reference/src/modules.py:128``, ``src/models.py:454,506,512``).
+torch semantics we reproduce exactly:
+
+- normalization uses the *biased* batch variance,
+- running-variance updates use the *unbiased* batch variance,
+- ``momentum=0.1`` in torch convention: ``new = (1-m)*old + m*batch``,
+- statistics are computed over padded frames too (pad-included stats —
+  SURVEY.md §7 hard part 2). A masked variant is provided as
+  ``mask=`` for correctness-minded users, off by default for parity.
+
+Running statistics live in the flax ``batch_stats`` collection, threaded
+explicitly through the jitted train step (no hidden module state — required
+for pjit/shard_map and for donation).
+
+Cross-device note: under data parallelism each device computes stats on its
+local shard (matching torch DDP's default non-synced BN). ``axis_name`` can
+be set to psum-average stats across the mesh (SyncBN), which the reference
+could not do at all.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class BatchNorm(nn.Module):
+    """torch-compatible BatchNorm over the last (channel) axis.
+
+    Works for ``[B, C]`` and ``[B, T, C]`` inputs: statistics are computed
+    over all axes except the last.
+    """
+
+    momentum: float = 0.1  # torch convention (new = (1-m)*old + m*batch)
+    epsilon: float = 1e-5
+    use_running_average: Optional[bool] = None
+    axis_name: Optional[str] = None  # set for cross-device SyncBN
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        use_running_average: Optional[bool] = None,
+        mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        use_ra = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        ch = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (ch,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (ch,), self.param_dtype)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((ch,), self.param_dtype)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((ch,), self.param_dtype)
+        )
+
+        reduce_axes = tuple(range(x.ndim - 1))
+        if use_ra:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            if mask is not None:
+                # mask: [B, T] (1 = valid frame). Masked statistics.
+                m = mask.astype(jnp.float32)[..., None]
+                count = jnp.maximum(jnp.sum(m), 1.0)
+                mean = jnp.sum(xf * m, axis=reduce_axes) / count
+                var = jnp.sum((xf - mean) ** 2 * m, axis=reduce_axes) / count
+            else:
+                count = jnp.asarray(
+                    jnp.prod(jnp.asarray([x.shape[a] for a in reduce_axes])),
+                    jnp.float32,
+                )
+                mean = jnp.mean(xf, axis=reduce_axes)
+                var = jnp.var(xf, axis=reduce_axes)
+            if self.axis_name is not None:
+                # SyncBN: average moments across the data-parallel axis.
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean_sq = jax.lax.pmean(var + mean**2, self.axis_name)
+                var = mean_sq - mean**2
+                count = count * jax.lax.psum(1, self.axis_name)
+            if not self.is_initializing():
+                # torch updates running_var with the *unbiased* variance.
+                unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
+                m_ = self.momentum
+                ra_mean.value = (1 - m_) * ra_mean.value + m_ * mean.astype(
+                    self.param_dtype
+                )
+                ra_var.value = (1 - m_) * ra_var.value + m_ * unbiased.astype(
+                    self.param_dtype
+                )
+
+        dtype = self.dtype or x.dtype
+        inv = jax.lax.rsqrt(var.astype(jnp.float32) + self.epsilon)
+        out = (x.astype(jnp.float32) - mean) * inv * scale.astype(jnp.float32) + bias.astype(
+            jnp.float32
+        )
+        return out.astype(dtype)
