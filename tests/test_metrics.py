@@ -1,0 +1,101 @@
+"""Metrics vs sklearn/scipy (the reference's implementations)."""
+
+import numpy as np
+import pytest
+from scipy.interpolate import interp1d
+from scipy.optimize import brentq
+from sklearn.metrics import (
+    accuracy_score,
+    f1_score,
+    precision_score,
+    recall_score,
+    roc_curve as sk_roc_curve,
+)
+
+from titanet_tpu.train.metrics import (
+    all_pairs_scores_labels,
+    compute_eer,
+    compute_mindcf,
+    get_test_metrics,
+    get_train_val_metrics,
+)
+
+
+def _reference_eer(scores, labels):
+    """The reference's exact EER computation (src/utils.py:294-300)."""
+    fpr, tpr, _ = sk_roc_curve(labels, scores)
+    return brentq(lambda x: 1.0 - x - interp1d(fpr, tpr)(x), 0.0, 1.0)
+
+
+def _reference_mindcf(scores, labels, p_target=0.01, c_fa=1, c_miss=1, eps=1e-6):
+    """The reference's exact minDCF loop (src/utils.py:303-367)."""
+    sorted_indexes, _ = zip(
+        *sorted(enumerate(scores), key=lambda t: t[1])
+    )
+    labels_s = [labels[i] for i in sorted_indexes]
+    fnrs, fprs = [], []
+    for i in range(len(labels_s)):
+        if i == 0:
+            fnrs.append(labels_s[i])
+            fprs.append(1 - labels_s[i])
+        else:
+            fnrs.append(fnrs[i - 1] + labels_s[i])
+            fprs.append(fprs[i - 1] + 1 - labels_s[i])
+    fnrs_norm = sum(labels_s)
+    fprs_norm = len(labels_s) - fnrs_norm
+    fnrs = [x / (float(fnrs_norm) + eps) for x in fnrs]
+    fprs = [1 - x / (float(fprs_norm) + eps) for x in fprs]
+    min_c_det = float("inf")
+    for i in range(len(fnrs)):
+        c_det = c_miss * fnrs[i] * p_target + c_fa * fprs[i] * (1 - p_target)
+        min_c_det = min(min_c_det, c_det)
+    c_def = min(c_miss * p_target, c_fa * (1 - p_target))
+    return min_c_det / (c_def + eps)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_eer_matches_reference(seed):
+    rng = np.random.default_rng(seed)
+    n = 400
+    labels = rng.integers(0, 2, n)
+    scores = rng.standard_normal(n) * 0.3 + labels * 0.8  # separable-ish
+    ours = compute_eer(scores, labels)
+    ref = _reference_eer(scores, labels)
+    assert abs(ours - ref) < 5e-3, (ours, ref)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_mindcf_matches_reference(seed):
+    rng = np.random.default_rng(seed)
+    n = 300
+    labels = rng.integers(0, 2, n).tolist()
+    scores = (rng.standard_normal(n) * 0.3 + np.asarray(labels) * 0.8).tolist()
+    ours = compute_mindcf(scores, labels)
+    ref = _reference_mindcf(scores, labels)
+    np.testing.assert_allclose(ours, ref, rtol=1e-9)
+
+
+def test_classification_metrics_match_sklearn():
+    rng = np.random.default_rng(3)
+    y_true = rng.integers(0, 10, 200)
+    y_pred = np.where(rng.random(200) < 0.7, y_true, rng.integers(0, 10, 200))
+    ours = get_train_val_metrics(y_true, y_pred, prefix="val")
+    assert abs(ours["val/accuracy"] - accuracy_score(y_true, y_pred)) < 1e-12
+    assert abs(ours["val/precision"] - precision_score(y_true, y_pred, average="macro", zero_division=0)) < 1e-12
+    assert abs(ours["val/recall"] - recall_score(y_true, y_pred, average="macro", zero_division=0)) < 1e-12
+    assert abs(ours["val/f1"] - f1_score(y_true, y_pred, average="macro", zero_division=0)) < 1e-12
+
+
+def test_all_pairs_protocol_matches_reference_shape():
+    """Pair protocol: N utterances -> N^2 scored pairs incl. self-pairs
+    (reference itertools.product, src/datasets.py:172)."""
+    rng = np.random.default_rng(4)
+    emb = rng.standard_normal((20, 8))
+    spk = np.repeat(np.arange(4), 5)
+    scores, labels = all_pairs_scores_labels(emb, spk)
+    assert scores.shape == labels.shape == (400,)
+    assert labels.sum() == 4 * 25  # 5x5 same-speaker blocks
+    # self-pairs score 1.0
+    np.testing.assert_allclose(scores.reshape(20, 20).diagonal(), 1.0, rtol=1e-9)
+    m = get_test_metrics(scores, labels)
+    assert 0 <= m["eer"] <= 1 and m["mindcf"] >= 0

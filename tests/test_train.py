@@ -1,0 +1,119 @@
+"""End-to-end training smoke tests on the synthetic corpus (the role the
+reference's DumbConvNet + tiny-split combo played, src/train.py:59-60)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from titanet_tpu.data import ChunkConfig, DataLoader, SyntheticSpeakerDataset
+from titanet_tpu.losses.heads import build_head
+from titanet_tpu.models import DumbConvNet, TitaNet
+from titanet_tpu.ops.frontend import FrontendConfig
+from titanet_tpu.train import (
+    all_pairs_scores_labels,
+    create_train_state,
+    embed_step,
+    eval_step,
+    get_test_metrics,
+    get_train_val_metrics,
+    make_optimizer,
+    train_step,
+)
+
+FRONTEND = FrontendConfig.from_ms()
+
+
+def _loader(n_speakers=4, ups=6, batch_size=8, seed=0):
+    ds = SyntheticSpeakerDataset(
+        n_speakers=n_speakers, utterances_per_speaker=ups,
+        min_seconds=1.0, max_seconds=1.4, seed=seed,
+    )
+    return ds, DataLoader(
+        ds, batch_size=batch_size, chunk=ChunkConfig(max_length=1.5, enabled=True),
+        seed=seed, prefetch=0,
+    )
+
+
+@pytest.mark.parametrize("loss_name", ["ce", "arc", "ge2e"])
+def test_training_reduces_loss(loss_name):
+    n_speakers = 4
+    ds, loader = _loader(n_speakers=n_speakers)
+    model = DumbConvNet(hidden_size=32, embedding_size=16, n_layers=2)
+    head = build_head(loss_name, 16, n_speakers)
+    opt = make_optimizer(start_lr=3e-3)
+    mel0 = jnp.zeros((2, 101, 80))
+    state = create_train_state(jax.random.key(0), model, head, opt, mel0, n_speakers)
+
+    kwargs = dict(model=model, head=head, optimizer=opt, frontend=FRONTEND,
+                  renorm_head=loss_name in ("arc", "cos", "sphere"))
+    losses = []
+    for epoch in range(6):
+        loader.set_epoch(epoch)
+        epoch_losses = []
+        for batch in loader:
+            state, metrics = train_step(
+                state, jnp.asarray(batch.waveform), jnp.asarray(batch.lengths),
+                jnp.asarray(batch.speaker_ids), **kwargs,
+            )
+            epoch_losses.append(float(metrics["loss"]))
+        losses.append(np.mean(epoch_losses))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_eval_and_verification_pipeline():
+    n_speakers = 4
+    ds, loader = _loader(n_speakers=n_speakers)
+    model = DumbConvNet(hidden_size=32, embedding_size=16, n_layers=1)
+    head = build_head("ce", 16, n_speakers)
+    opt = make_optimizer()
+    state = create_train_state(
+        jax.random.key(0), model, head, opt, jnp.zeros((2, 101, 80)), n_speakers
+    )
+    batch = next(iter(loader))
+    out = eval_step(
+        state, jnp.asarray(batch.waveform), jnp.asarray(batch.lengths),
+        jnp.asarray(batch.speaker_ids), model=model, head=head, frontend=FRONTEND,
+    )
+    assert np.isfinite(float(out["loss"]))
+    m = get_train_val_metrics(batch.speaker_ids, np.asarray(out["preds"]), "val")
+    assert 0 <= m["val/accuracy"] <= 1
+
+    # batched verification: embed once, one matmul for all pairs
+    emb = embed_step(
+        state.params["backbone"], state.batch_stats,
+        jnp.asarray(batch.waveform), jnp.asarray(batch.lengths),
+        model=model, frontend=FRONTEND,
+    )
+    scores, labels = all_pairs_scores_labels(np.asarray(emb), batch.speaker_ids)
+    tm = get_test_metrics(scores, labels, prefix="test")
+    assert 0 <= tm["test/eer"] <= 1
+
+
+def test_titanet_train_step_runs():
+    """One real TitaNet-S-shaped (tiny) train step incl. specaugment."""
+    model = TitaNet(n_mega_blocks=1, encoder_hidden_size=32, encoder_output_size=48,
+                    embedding_size=16, attention_hidden_size=8, dropout=0.1)
+    head = build_head("ce", 16, 4)
+    opt = make_optimizer()
+    state = create_train_state(
+        jax.random.key(0), model, head, opt, jnp.zeros((2, 101, 80)), 4
+    )
+    wav = jnp.asarray(np.random.default_rng(0).standard_normal((4, 16000)) * 0.1,
+                      jnp.float32)
+    lengths = jnp.asarray([16000, 12000, 16000, 8000])
+    speakers = jnp.asarray([0, 1, 2, 3])
+    stats_before = [np.asarray(l).copy() for l in jax.tree.leaves(state.batch_stats)]
+    state2, metrics = train_step(
+        state, wav, lengths, speakers, model=model, head=head, optimizer=opt,
+        frontend=FRONTEND, augment=(0.35, 1, 0.15, 1, 0.5),
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1
+    # batch_stats changed (BN in train mode); old state was donated
+    after = jax.tree.leaves(state2.batch_stats)
+    changed = any(
+        not np.allclose(b, np.asarray(a)) for b, a in zip(stats_before, after)
+    )
+    assert changed

@@ -1,0 +1,364 @@
+"""Speaker-keyed dataset protocol and corpus backends.
+
+Host-side rebuild of the reference data layer
+(``/root/reference/src/datasets.py``): a :class:`SpeakerDataset` base with
+speaker<->id maps, deterministic val/test splits, random-utterance sampling
+and all-pairs generation, plus corpus backends for LibriSpeech, VCTK 0.92,
+VoxCeleb1/2 and a synthetic corpus for tests/benchmarks.
+
+Differences by design:
+
+- datasets yield RAW WAVEFORMS; the mel frontend runs on-device
+  (``titanet_tpu.ops.frontend``), not per-example on the host per epoch
+  (the reference recomputed STFT+mel on CPU every epoch,
+  src/datasets.py:283-294 — SURVEY.md §3.2 hot loop (b)),
+- no auto-download (this environment is egress-free); ``prepare()`` hooks
+  document the expected on-disk layout instead,
+- verification pairs are returned as (indices, labels) for batched scoring
+  (one matmul) rather than materialized O(N^2) example pairs
+  (src/datasets.py:165-183).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from titanet_tpu.data.audio_io import read_audio
+
+
+class SpeakerDataset:
+    """Base dataset: integer-indexed utterances grouped by speaker
+    (reference SpeakerDataset, src/datasets.py:116-294)."""
+
+    def __init__(self):
+        self.speakers_utterances: Dict = self.get_speakers_utterances()
+        self.speakers: List = list(self.speakers_utterances.keys())
+        self.speakers_to_id = {s: i for i, s in enumerate(self.speakers)}
+        self.id_to_speakers = {i: s for i, s in enumerate(self.speakers)}
+
+    # -- corpus interface ---------------------------------------------------
+    def get_speakers_utterances(self) -> Dict:
+        raise NotImplementedError
+
+    def get_sample(self, idx: int) -> Tuple[np.ndarray, int, object]:
+        """-> (waveform [C, T] float32, sample_rate, speaker)."""
+        raise NotImplementedError
+
+    def get_path(self, idx: int) -> str:
+        raise NotImplementedError
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    # -- shared logic (reference src/datasets.py:151-294) --------------------
+    def get_num_speakers(self) -> int:
+        return len(self.speakers)
+
+    def get_random_utterances(
+        self, n_speakers: int = 5, n_utterances_per_speaker: int = 20, seed=None
+    ):
+        rng = np.random.default_rng(seed)
+        utterances, speakers = [], []
+        chosen = rng.choice(self.speakers, size=n_speakers)
+        for speaker in chosen:
+            speaker_utterances = self.speakers_utterances[speaker]
+            utterances += list(
+                rng.choice(speaker_utterances, size=n_utterances_per_speaker)
+            )
+            speakers += [speaker] * n_utterances_per_speaker
+        return utterances, speakers
+
+    def get_splits(
+        self,
+        val: bool = True,
+        val_utterances_per_speaker: int = 10,
+        test: bool = True,
+        test_speakers: int = 10,
+        test_utterances_per_speaker: int = 10,
+    ):
+        """Deterministic per-speaker train/val/test split
+        (reference src/datasets.py:191-229)."""
+        train_utt, val_utt, test_utt = [], [], []
+        for i, s in enumerate(self.speakers):
+            start = 0
+            if val:
+                val_utt += self.speakers_utterances[s][:val_utterances_per_speaker]
+                start += val_utterances_per_speaker
+            if test and i < test_speakers:
+                test_utt += self.speakers_utterances[s][
+                    val_utterances_per_speaker : val_utterances_per_speaker
+                    + test_utterances_per_speaker
+                ]
+                start += test_utterances_per_speaker
+            train_utt += self.speakers_utterances[s][start:]
+        assert (not val or len(val_utt) > 0) and (not test or len(test_utt) > 0), (
+            "No validation or test utterances"
+        )
+        assert not set(train_utt) & set(val_utt) and not set(val_utt) & set(test_utt), (
+            "Splits are not disjoint"
+        )
+        return train_utt, val_utt, test_utt
+
+    def get_durations(self) -> Dict[int, float]:
+        durations = {}
+        for idx in range(len(self)):
+            wav, sr, _ = self.get_sample(idx)
+            durations[idx] = wav.shape[-1] / sr
+        return durations
+
+    def get_durations_per_speaker(self, hours: bool = True) -> Dict:
+        durations = self.get_durations()
+        div = 3600 if hours else 1
+        return {
+            speaker: sum(durations[i] for i in utts) / div
+            for speaker, utts in self.speakers_utterances.items()
+        }
+
+    def info(self, hours: bool = True) -> Dict:
+        ups = [len(u) for u in self.speakers_utterances.values()]
+        dps = list(self.get_durations_per_speaker(hours=hours).values())
+        return {
+            "num_utterances": len(self),
+            "num_speakers": self.get_num_speakers(),
+            "total_duration": round(sum(dps), 2),
+            "utterances_per_speaker_mean": round(float(np.mean(ups)), 2),
+            "utterances_per_speaker_std": round(float(np.std(ups)), 2),
+            "durations_per_speaker_mean": round(float(np.mean(dps)), 2),
+            "durations_per_speaker_std": round(float(np.std(dps)), 2),
+        }
+
+    def __getitem__(self, idx: int) -> Dict:
+        waveform, sample_rate, speaker = self.get_sample(idx)
+        return {
+            "waveform": waveform,
+            "sample_rate": sample_rate,
+            "speaker": speaker,
+            "speaker_id": self.speakers_to_id[speaker],
+        }
+
+
+class Subset(SpeakerDataset):
+    """Index-remapped view of a dataset (keeps speaker-id mapping of the
+    parent, like torch.utils.data.Subset usage at src/datasets.py:231-238)."""
+
+    def __init__(self, parent: SpeakerDataset, indices: Sequence[int]):
+        self.parent = parent
+        self.indices = list(indices)
+        self.speakers_utterances = None  # views don't re-derive speaker maps
+        self.speakers = parent.speakers
+        self.speakers_to_id = parent.speakers_to_id
+        self.id_to_speakers = parent.id_to_speakers
+
+    def __len__(self):
+        return len(self.indices)
+
+    def get_sample(self, idx):
+        return self.parent.get_sample(self.indices[idx])
+
+    def get_path(self, idx):
+        return self.parent.get_path(self.indices[idx])
+
+    def __getitem__(self, idx):
+        return self.parent[self.indices[idx]]
+
+
+class LibriSpeechDataset(SpeakerDataset):
+    """LibriSpeech layout: ``root/LibriSpeech/<url>/<speaker>/<chapter>/
+    <speaker>-<chapter>-<utt>.flac`` (reference src/datasets.py:297-332,
+    torchaudio LIBRISPEECH conventions)."""
+
+    def __init__(self, root: str, url: str = "train-clean-100"):
+        self._path = os.path.join(root, "LibriSpeech", url)
+        if not os.path.isdir(self._path):
+            raise FileNotFoundError(
+                f"LibriSpeech not found at {self._path}. This environment has "
+                "no network egress; place the extracted corpus there."
+            )
+        self._walker = sorted(
+            str(p) for p in Path(self._path).rglob("*.flac")
+        )
+        super().__init__()
+
+    def __len__(self):
+        return len(self._walker)
+
+    def get_speakers_utterances(self):
+        speakers_utterances = defaultdict(list)
+        for i, path in enumerate(self._walker):
+            speaker_id = int(Path(path).name.split("-")[0])
+            speakers_utterances[speaker_id].append(i)
+        return speakers_utterances
+
+    def get_path(self, idx):
+        return self._walker[idx]
+
+    def get_sample(self, idx):
+        wav, sr = read_audio(self._walker[idx])
+        speaker = int(Path(self._walker[idx]).name.split("-")[0])
+        return wav, sr, speaker
+
+
+class VCTKDataset(SpeakerDataset):
+    """VCTK 0.92 layout: ``root/wav48_silence_trimmed/<speaker>/
+    <speaker>_<utt>_<mic>.flac`` (reference src/datasets.py:335-365)."""
+
+    def __init__(self, root: str, mic_id: str = "mic2"):
+        self._audio_dir = os.path.join(root, "wav48_silence_trimmed")
+        if not os.path.isdir(self._audio_dir):
+            raise FileNotFoundError(f"VCTK not found at {self._audio_dir}")
+        self._mic_id = mic_id
+        self._walker = sorted(
+            str(p)
+            for p in Path(self._audio_dir).rglob(f"*_{mic_id}.flac")
+        )
+        super().__init__()
+
+    def __len__(self):
+        return len(self._walker)
+
+    def get_speakers_utterances(self):
+        speakers_utterances = defaultdict(list)
+        for i, path in enumerate(self._walker):
+            speakers_utterances[Path(path).name.split("_")[0]].append(i)
+        return speakers_utterances
+
+    def get_path(self, idx):
+        return self._walker[idx]
+
+    def get_sample(self, idx):
+        wav, sr = read_audio(self._walker[idx])
+        return wav, sr, Path(self._walker[idx]).name.split("_")[0]
+
+
+class VoxCelebDataset(SpeakerDataset):
+    """VoxCeleb1/2 layout: ``root/wav/<speaker>/<video>/<utt>.wav``
+    (reference src/datasets.py:368-399, 568-597)."""
+
+    def __init__(self, root: str):
+        self._path = os.path.join(root, "wav")
+        if not os.path.isdir(self._path):
+            raise FileNotFoundError(f"VoxCeleb not found at {self._path}")
+        self._walker = sorted(str(p) for p in Path(self._path).rglob("*.wav"))
+        super().__init__()
+
+    def __len__(self):
+        return len(self._walker)
+
+    def get_speakers_utterances(self):
+        speakers_utterances = defaultdict(list)
+        for i, path in enumerate(self._walker):
+            speakers_utterances[Path(path).parts[-3]].append(i)
+        return speakers_utterances
+
+    def get_path(self, idx):
+        return self._walker[idx]
+
+    def get_sample(self, idx):
+        wav, sr = read_audio(self._walker[idx])
+        return wav, sr, Path(self._walker[idx]).parts[-3]
+
+
+class SyntheticSpeakerDataset(SpeakerDataset):
+    """Procedural speaker corpus for tests/benchmarks (no disk IO).
+
+    Each speaker has fixed formant frequencies; utterances are harmonic
+    stacks with per-utterance pitch/noise — linearly separable enough for a
+    smoke-test model to overfit (the role DumbConvNet + tiny split played in
+    the reference, src/train.py:59-60).
+    """
+
+    def __init__(
+        self,
+        n_speakers: int = 8,
+        utterances_per_speaker: int = 12,
+        sample_rate: int = 16000,
+        min_seconds: float = 1.2,
+        max_seconds: float = 3.5,
+        seed: int = 0,
+    ):
+        self.n = n_speakers * utterances_per_speaker
+        self.n_speakers_ = n_speakers
+        self.ups = utterances_per_speaker
+        self.sample_rate = sample_rate
+        self.min_seconds, self.max_seconds = min_seconds, max_seconds
+        self.seed = seed
+        rng = np.random.default_rng(seed)
+        self._f0 = rng.uniform(90, 280, n_speakers)
+        self._formants = rng.uniform(300, 3200, (n_speakers, 3))
+        super().__init__()
+
+    def __len__(self):
+        return self.n
+
+    def get_speakers_utterances(self):
+        return {
+            s: list(range(s * self.ups, (s + 1) * self.ups))
+            for s in range(self.n_speakers_)
+        }
+
+    def get_path(self, idx):
+        return f"synthetic://{idx}"
+
+    def get_sample(self, idx):
+        speaker = idx // self.ups
+        rng = np.random.default_rng(self.seed * 100003 + idx)
+        seconds = rng.uniform(self.min_seconds, self.max_seconds)
+        t = np.arange(int(seconds * self.sample_rate)) / self.sample_rate
+        f0 = self._f0[speaker] * rng.uniform(0.95, 1.05)
+        x = np.zeros_like(t, np.float32)
+        for k in range(1, 9):
+            weight = sum(
+                np.exp(-0.5 * ((k * f0 - fm) / 400.0) ** 2)
+                for fm in self._formants[speaker]
+            )
+            x += (weight / k).astype(np.float32) * np.sin(
+                2 * np.pi * k * f0 * t + rng.uniform(0, 2 * np.pi)
+            ).astype(np.float32)
+        x += rng.standard_normal(len(t)).astype(np.float32) * 0.01
+        x = 0.3 * x / max(np.abs(x).max(), 1e-6)
+        return x[None, :].astype(np.float32), self.sample_rate, speaker
+
+
+DATASETS = {
+    "librispeech": LibriSpeechDataset,
+    "vctk": VCTKDataset,
+    "voxceleb1": VoxCelebDataset,
+    "voxceleb2": VoxCelebDataset,
+    "synthetic": SyntheticSpeakerDataset,
+}
+
+
+def get_datasets(
+    dataset_root: str,
+    name: str = "librispeech",
+    val: bool = True,
+    val_utterances_per_speaker: int = 10,
+    test: bool = True,
+    test_speakers: int = 10,
+    test_utterances_per_speaker: int = 10,
+    **kwargs,
+):
+    """Build (train, val, test, n_speakers) like reference get_datasets
+    (src/datasets.py:76-113)."""
+    if name == "synthetic":
+        full = SyntheticSpeakerDataset(**kwargs)
+    else:
+        full = DATASETS[name](dataset_root, **kwargs)
+    train_utt, val_utt, test_utt = full.get_splits(
+        val=val,
+        val_utterances_per_speaker=val_utterances_per_speaker,
+        test=test,
+        test_speakers=test_speakers,
+        test_utterances_per_speaker=test_utterances_per_speaker,
+    )
+    return (
+        Subset(full, train_utt),
+        Subset(full, val_utt),
+        Subset(full, test_utt),
+        full.get_num_speakers(),
+    )

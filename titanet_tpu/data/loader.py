@@ -1,0 +1,213 @@
+"""Host-side batching + device prefetch.
+
+Replaces the reference's torch DataLoader + collate
+(``/root/reference/src/datasets.py:25-73`` — which also carried a duplicate
+``drop_last`` kwarg SyntaxError; intent ``drop_last=True`` is honored here).
+
+TPU-first design:
+
+- batches carry RAW waveforms padded to a small set of BUCKET lengths so jit
+  sees a handful of static shapes (no per-batch recompiles — SURVEY.md §7
+  hard part 5); the mel frontend runs on device,
+- RandomChunk runs on the host as part of batching (reference
+  src/transforms.py:206-233): utterances longer than ``max_length`` get a
+  random window of a randomly chosen chunk length,
+- a background thread decodes/stages the next batches while the device
+  computes (double-buffered prefetch),
+- deterministic: each epoch's shuffle and chunk choices derive from
+  ``(seed, epoch)``.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from titanet_tpu.data.dataset import SpeakerDataset
+
+
+@dataclass
+class Batch:
+    """One host batch (numpy). ``waveform [B, T]`` mono float32."""
+
+    waveform: np.ndarray
+    lengths: np.ndarray  # int32 [B] valid samples per row
+    speaker_ids: np.ndarray  # int32 [B]
+
+    def __len__(self):
+        return self.waveform.shape[0]
+
+
+@dataclass
+class ChunkConfig:
+    """Reference RandomChunk semantics (src/transforms.py:206-233)."""
+
+    max_length: float = 3.0
+    lengths: Sequence[float] = field(default_factory=lambda: (1.5, 2.0, 3.0))
+    enabled: bool = True
+
+
+def default_buckets(sample_rate: int, chunk: ChunkConfig, max_seconds: float = 20.0):
+    """Bucket boundaries in samples: the chunk lengths plus power-of-two-ish
+    steps up to ``max_seconds`` for unchunked (eval) utterances."""
+    buckets = sorted({int(l * sample_rate) for l in chunk.lengths})
+    top = buckets[-1] if buckets else sample_rate
+    while top < max_seconds * sample_rate:
+        top *= 2
+        buckets.append(int(top))
+    return buckets
+
+
+class DataLoader:
+    """Seeded, bucketed, chunking loader over a :class:`SpeakerDataset`."""
+
+    def __init__(
+        self,
+        dataset: SpeakerDataset,
+        batch_size: int = 8,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        chunk: Optional[ChunkConfig] = None,
+        sample_rate: int = 16000,
+        seed: int = 42,
+        buckets: Optional[List[int]] = None,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.chunk = chunk or ChunkConfig(enabled=False)
+        self.sample_rate = sample_rate
+        self.seed = seed
+        self.buckets = buckets or default_buckets(sample_rate, self.chunk)
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    # -- internals ----------------------------------------------------------
+    def _load_one(self, idx: int, rng: np.random.Generator):
+        ex = self.dataset[idx]
+        wav = np.asarray(ex["waveform"], np.float32)
+        if wav.ndim == 2:
+            wav = wav.mean(axis=0) if wav.shape[0] > 1 else wav[0]
+        sr = ex["sample_rate"]
+        if sr != self.sample_rate:
+            wav = _resample_host(wav, sr, self.sample_rate)
+        if self.chunk.enabled and len(wav) / self.sample_rate > self.chunk.max_length:
+            length = int(rng.choice(self.chunk.lengths) * self.sample_rate)
+            start = rng.integers(0, len(wav) - length + 1)
+            wav = wav[start : start + length]
+        return wav, ex["speaker_id"]
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def _make_batch(self, waves, speakers) -> Batch:
+        longest = max(len(w) for w in waves)
+        t = self._bucket_for(longest)
+        batch = np.zeros((len(waves), t), np.float32)
+        lengths = np.zeros(len(waves), np.int32)
+        for i, w in enumerate(waves):
+            w = w[:t]
+            batch[i, : len(w)] = w
+            lengths[i] = len(w)
+        return Batch(batch, lengths, np.asarray(speakers, np.int32))
+
+    def _iter_batches(self) -> Iterator[Batch]:
+        rng = np.random.default_rng((self.seed, self.epoch))
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng.shuffle(order)
+        n_full = len(order) // self.batch_size
+        tail = len(order) - n_full * self.batch_size
+        for b in range(n_full + (0 if self.drop_last or tail == 0 else 1)):
+            idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+            waves, speakers = [], []
+            for i in idxs:
+                w, s = self._load_one(int(i), rng)
+                waves.append(w)
+                speakers.append(s)
+            yield self._make_batch(waves, speakers)
+
+    def __iter__(self) -> Iterator[Batch]:
+        if self.prefetch <= 0:
+            yield from self._iter_batches()
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error = []
+
+        def worker():
+            try:
+                for item in self._iter_batches():
+                    q.put(item)
+            except BaseException as e:  # surfaced in the consumer
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=worker, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item
+
+
+def _resample_host(wav: np.ndarray, orig: int, new: int) -> np.ndarray:
+    """Host-side polyphase resample (same sinc kernel as the device path)."""
+    if orig == new:
+        return wav
+    import math
+
+    from titanet_tpu.ops.augment import _sinc_resample_kernel
+
+    kernels, width = _sinc_resample_kernel(orig, new)
+    gcd = math.gcd(orig, new)
+    of, nf = orig // gcd, new // gcd
+    x = np.pad(wav, (width, width + of))
+    n_out = x.shape[0] - kernels.shape[-1] + 1
+    starts = np.arange(0, n_out, of)
+    segs = x[starts[:, None] + np.arange(kernels.shape[-1])[None, :]]  # [n, K]
+    out = segs @ kernels[:, 0, :].T  # [n, nf]
+    out = out.reshape(-1)
+    target = int(math.ceil(nf * len(wav) / of))
+    return out[:target].astype(np.float32)
+
+
+def device_prefetch(iterator, to_device=None, size: int = 2):
+    """Stage host batches onto the device ahead of consumption."""
+    import jax
+
+    put = to_device or jax.device_put
+    buf: List = []
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            buf.append(jax.tree.map(put, next(it).__dict__))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.pop(0)
+        try:
+            buf.append(jax.tree.map(put, next(it).__dict__))
+        except StopIteration:
+            pass
+        yield out

@@ -20,6 +20,14 @@ def _l2_normalize(x, axis=-1, eps=1e-12):
     return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
 
 
+def _safe_l2_normalize(x, axis=-1, eps=1e-8):
+    """L2 normalize with a NaN-free gradient at x == 0 (an all-zero
+    leave-one-out centroid arises whenever a speaker has a single utterance
+    in the batch; sqrt' at 0 would poison the grads)."""
+    sumsq = jnp.sum(x * x, axis=axis, keepdims=True)
+    return x * jax.lax.rsqrt(jnp.maximum(sumsq, eps * eps))
+
+
 class CEHead(nn.Module):
     """Linear(E -> n_classes) + softmax cross-entropy
     (reference CELoss, src/losses.py:22-44)."""
@@ -187,17 +195,9 @@ class GE2EHead(nn.Module):
         own_counts = safe_counts[targets]  # [B]
         loo = (own_sums - x) / own_counts[:, None]  # [B, E]
 
-        def cos(a, c):
-            na = jnp.linalg.norm(a, axis=-1, keepdims=True)
-            nc = jnp.linalg.norm(c, axis=-1, keepdims=True)
-            return (a / jnp.maximum(na, self.eps)) @ (
-                c / jnp.maximum(nc, self.eps)
-            ).T if c.ndim == 2 else None
-
-        sim_all = cos(x, centroids)  # [B, K] vs full centroids
-        sim_own = jnp.sum(
-            _l2_normalize(x, eps=self.eps) * _l2_normalize(loo, eps=self.eps), axis=-1
-        )  # [B]
+        xn = _safe_l2_normalize(x, eps=self.eps)
+        sim_all = xn @ _safe_l2_normalize(centroids, eps=self.eps).T  # [B, K]
+        sim_own = jnp.sum(xn * _safe_l2_normalize(loo, eps=self.eps), axis=-1)  # [B]
 
         w_pos = nn.relu(w)
         S = w_pos * sim_all + b  # [B, K]

@@ -2,6 +2,10 @@
 
 import jax.numpy as jnp
 
+from titanet_tpu.models.baselines import (  # noqa: F401
+    DumbConvNet,
+    DVectorBaseline,
+)
 from titanet_tpu.models.titanet import (  # noqa: F401
     TARGET_PARAMS,
     ConvBlock1d,

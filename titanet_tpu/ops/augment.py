@@ -1,0 +1,240 @@
+"""On-device audio augmentations.
+
+Device-side, batched, PRNG-key-driven rebuilds of the reference's per-example
+CPU transforms (``/root/reference/src/transforms.py``):
+
+- SpecAugment freq/time masking (torchaudio ``mask_along_axis`` semantics,
+  reference usage src/transforms.py:186-201),
+- time-stretch phase vocoder (torchaudio ``TimeStretch``/``phase_vocoder``,
+  reference src/transforms.py:154-156,167-175),
+- sinc-interpolation resampling (torchaudio ``functional.resample`` algorithm:
+  hann-windowed sinc, lowpass_filter_width=6, rolloff=0.99; reference
+  src/transforms.py:320-341),
+- speed perturbation built on resampling (reference uses sox
+  ``speed``+``rate``, src/transforms.py:78-108; resample-based speed is the
+  standard equivalent),
+- convolution reverb (reference src/transforms.py:270-298) via FFT.
+
+Everything is jit-safe with static shapes; randomness comes from explicit
+PRNG keys (one per batch, split per example).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# SpecAugment masking
+# ---------------------------------------------------------------------------
+
+
+def mask_along_axis(
+    key: jax.Array,
+    spec: jax.Array,
+    mask_param: float,
+    axis: int,
+    mask_value: float = 0.0,
+) -> jax.Array:
+    """torchaudio ``mask_along_axis`` semantics for a single example:
+    ``width ~ U(0, mask_param)``, ``start ~ U(0, size - width)``, zero out
+    ``[int(start), int(start+width))`` along ``axis``."""
+    size = spec.shape[axis]
+    k1, k2 = jax.random.split(key)
+    value = jax.random.uniform(k1) * mask_param
+    min_value = jax.random.uniform(k2) * (size - value)
+    start = min_value.astype(jnp.int32)
+    end = (min_value + value).astype(jnp.int32)
+    ids = jnp.arange(size)
+    mask = (ids >= start) & (ids < end)
+    shape = [1] * spec.ndim
+    shape[axis] = size
+    return jnp.where(mask.reshape(shape), mask_value, spec)
+
+
+def spec_augment(
+    key: jax.Array,
+    spec: jax.Array,
+    freq_mask_ratio: float = 0.35,
+    freq_mask_num: int = 1,
+    time_mask_ratio: float = 0.15,
+    time_mask_num: int = 1,
+    probability: float = 1.0,
+    frames_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Batched SpecAugment masking on ``[B, F, M]`` log-mel spectrograms.
+
+    Mask widths follow the reference: ``ratio * dim_size``
+    (src/transforms.py:188-201). The whole augment is gated per example with
+    ``probability`` (reference applies SpecAugment as a unit, gated at
+    src/transforms.py:168). Time-mask width scales with the padded frame
+    count, as in the reference (it masks after collation-equivalent compute).
+    """
+    b, n_frames, n_mels = spec.shape
+    freq_param = freq_mask_ratio * n_mels
+    time_param = time_mask_ratio * n_frames
+
+    def one(key, s):
+        k_gate, key = jax.random.split(key)
+        augmented = s
+        for _ in range(freq_mask_num):
+            key, k = jax.random.split(key)
+            augmented = mask_along_axis(k, augmented, freq_param, axis=1)
+        for _ in range(time_mask_num):
+            key, k = jax.random.split(key)
+            augmented = mask_along_axis(k, augmented, time_param, axis=0)
+        apply = jax.random.uniform(k_gate) < probability
+        return jnp.where(apply, augmented, s)
+
+    keys = jax.random.split(key, b)
+    out = jax.vmap(one)(keys, spec)
+    if frames_mask is not None:
+        out = out * frames_mask[..., None]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Phase vocoder (time stretch)
+# ---------------------------------------------------------------------------
+
+
+def phase_vocoder(
+    spec: jax.Array, rate: float, hop_length: int, n_fft: int
+) -> jax.Array:
+    """torchaudio ``phase_vocoder``: stretch a complex spectrogram
+    ``[..., freq, time]`` by ``rate`` (static Python float; output time is
+    ``ceil(time / rate)``).
+
+    Reference applies this inside MelSpectrogram for SpecAugment speed
+    (src/transforms.py:154-156,173-175).
+    """
+    if rate == 1.0:
+        return spec
+    n_freq, n_time = spec.shape[-2], spec.shape[-1]
+    phi_advance = jnp.linspace(0, math.pi * hop_length, n_freq)[..., None]
+
+    time_steps = jnp.arange(0, n_time, rate)  # static length
+    alphas = time_steps % 1.0
+    spec_pad = jnp.pad(spec, [(0, 0)] * (spec.ndim - 1) + [(0, 2)])
+
+    idx = time_steps.astype(jnp.int32)
+    spec_0 = spec_pad[..., idx]
+    spec_1 = spec_pad[..., idx + 1]
+
+    angle_0 = jnp.angle(spec_0)
+    angle_1 = jnp.angle(spec_1)
+    norm_0 = jnp.abs(spec_0)
+    norm_1 = jnp.abs(spec_1)
+
+    phase = angle_1 - angle_0 - phi_advance
+    phase = phase - 2.0 * math.pi * jnp.round(phase / (2.0 * math.pi))
+    phase = phase + phi_advance
+    # accumulate, starting from the first frame's phase
+    phase = jnp.concatenate([angle_0[..., :1], phase[..., :-1]], axis=-1)
+    phase_acc = jnp.cumsum(phase, axis=-1)
+
+    mag = alphas * norm_1 + (1.0 - alphas) * norm_0
+    return mag * jnp.exp(1j * phase_acc)
+
+
+# ---------------------------------------------------------------------------
+# Resampling (sinc interpolation) and speed perturbation
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=32)
+def _sinc_resample_kernel(
+    orig_freq: int,
+    new_freq: int,
+    lowpass_filter_width: int = 6,
+    rolloff: float = 0.99,
+) -> Tuple[np.ndarray, int]:
+    """torchaudio ``_get_sinc_resample_kernel`` (sinc_interp_hann):
+    returns (kernels [new_freq_g, 1, K], width)."""
+    gcd = math.gcd(orig_freq, new_freq)
+    orig_freq, new_freq = orig_freq // gcd, new_freq // gcd
+    base_freq = min(orig_freq, new_freq) * rolloff
+    width = math.ceil(lowpass_filter_width * orig_freq / base_freq)
+    idx = np.arange(-width, width + orig_freq, dtype=np.float64)[None, None] / orig_freq
+    t = np.arange(0, -new_freq, -1, dtype=np.float64)[:, None, None] / new_freq + idx
+    t *= base_freq
+    t = np.clip(t, -lowpass_filter_width, lowpass_filter_width)
+    window = np.cos(t * math.pi / lowpass_filter_width / 2) ** 2
+    t *= math.pi
+    scale = base_freq / orig_freq
+    kernels = np.where(t == 0, 1.0, np.sin(t) / np.where(t == 0, 1.0, t))
+    kernels = kernels * window * scale
+    return kernels.astype(np.float32), width
+
+
+def resample(
+    waveform: jax.Array,
+    orig_freq: int,
+    new_freq: int,
+    lowpass_filter_width: int = 6,
+    rolloff: float = 0.99,
+) -> jax.Array:
+    """torchaudio ``functional.resample`` for ``[B, T]`` waveforms."""
+    if orig_freq == new_freq:
+        return waveform
+    gcd = math.gcd(orig_freq, new_freq)
+    of, nf = orig_freq // gcd, new_freq // gcd
+    kernels, width = _sinc_resample_kernel(orig_freq, new_freq, lowpass_filter_width, rolloff)
+    length = waveform.shape[-1]
+    x = jnp.pad(waveform, [(0, 0)] * (waveform.ndim - 1) + [(width, width + of)])
+    # conv: [B, T, 1] x [K, 1, new_freq_g] stride of
+    out = jax.lax.conv_general_dilated(
+        x[..., None],
+        jnp.asarray(kernels.transpose(2, 1, 0)),
+        window_strides=(of,),
+        padding=[(0, 0)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )  # [B, T//of, nf]
+    out = out.reshape(out.shape[0], -1)  # interleave polyphase outputs
+    target_length = int(math.ceil(nf * length / of))
+    return out[..., :target_length]
+
+
+def speed_perturb(
+    waveform: jax.Array, sample_rate: int, speed: float
+) -> Tuple[jax.Array, int]:
+    """Speed change by resampling (sox ``speed`` + ``rate`` equivalent,
+    reference src/transforms.py:78-108): output has ``round(T / speed)``
+    samples at the same sample rate. ``speed`` is a static Python float."""
+    new_freq = int(round(sample_rate / speed))
+    out = resample(waveform, sample_rate, new_freq)
+    return out, out.shape[-1]
+
+
+# ---------------------------------------------------------------------------
+# Convolution reverb
+# ---------------------------------------------------------------------------
+
+
+def reverb(
+    waveform: jax.Array, rir: jax.Array, normalize_rir: bool = True
+) -> jax.Array:
+    """Convolve ``[B, T]`` waveforms with a room impulse response ``[L]``.
+
+    Matches the reference exactly (src/transforms.py:270-298): RIR is
+    power-normalized, the signal is left-padded by L-1 and convolved so the
+    output keeps length T (causal convolution truncated to T). FFT-based —
+    O(T log T) instead of the reference's O(T*L) direct conv.
+    """
+    if normalize_rir:
+        rir = rir / jnp.linalg.norm(rir)
+    t = waveform.shape[-1]
+    l = rir.shape[-1]
+    n = 1
+    while n < t + l - 1:
+        n *= 2
+    wf = jnp.fft.rfft(waveform, n=n)
+    rf = jnp.fft.rfft(rir, n=n)
+    full = jnp.fft.irfft(wf * rf, n=n)
+    return full[..., :t].astype(waveform.dtype)

@@ -1,0 +1,254 @@
+"""On-device audio frontend: waveform -> log-mel spectrogram.
+
+TPU-native rebuild of the reference CPU frontend
+(``/root/reference/src/transforms.py:111-203``), which ran torchaudio's
+Spectrogram -> MelScale -> AmplitudeToDB -> F.normalize per example, per
+epoch, on the host. Here the whole chain is a batched, jittable device
+computation:
+
+  frame (strided gather) -> window -> rFFT -> |.|^2
+    -> mel filterbank matmul (MXU) -> 10*log10 -> L2 norm over mels
+
+Exact-parity notes vs torchaudio defaults (SURVEY.md §7 hard part 1):
+
+- ``torch.stft``: center=True, pad_mode="reflect" (n_fft//2 each side),
+  periodic Hann of ``win_length`` zero-padded symmetrically to ``n_fft``,
+  ``n_frames = 1 + T // hop``, onesided, not normalized.
+- ``MelScale``: HTK mel scale (2595 log10(1 + f/700)), f_min=0,
+  f_max=sr/2, no filterbank area normalization.
+- ``AmplitudeToDB`` (power): ``10 * log10(clamp(x, 1e-10))``, ref=1.0,
+  no top_db clamping.
+- ``F.normalize(dim=mel)``: L2 over the mel axis, eps=1e-12.
+
+Variable lengths: utterances are right-padded with zeros in the waveform
+batch; ``frames_mask`` marks frames ``< 1 + length // hop`` valid, and the
+log-mel output is zeroed outside the mask — bit-identical to the reference's
+"compute per-example then zero-pad spectrograms" collation
+(``src/datasets.py:64-71``).
+
+The DFT is also available as a real matmul (``use_matmul_dft=True``):
+for n_fft=512 the rFFT is a ``[.,512] @ [512, 514]`` GEMM that XLA maps
+straight onto the MXU and fuses with the mel matmul — the building block
+for the fused Pallas kernel in ``titanet_tpu.ops.pallas.melspec`` (cf.
+nnAudio/MelT, PAPERS.md).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hann_window(win_length: int, dtype=np.float32) -> np.ndarray:
+    """torch.hann_window(periodic=True)."""
+    n = np.arange(win_length, dtype=np.float64)
+    w = 0.5 * (1.0 - np.cos(2.0 * np.pi * n / win_length))
+    return w.astype(dtype)
+
+
+def padded_window(n_fft: int, win_length: int, dtype=np.float32) -> np.ndarray:
+    """Window zero-padded symmetrically to n_fft (torch.stft semantics)."""
+    w = hann_window(win_length, dtype)
+    left = (n_fft - win_length) // 2
+    out = np.zeros(n_fft, dtype)
+    out[left : left + win_length] = w
+    return out
+
+
+def hz_to_mel(f, htk: bool = True):
+    if htk:
+        return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+    # Slaney scale (librosa default) — provided for completeness
+    f = np.asarray(f, np.float64)
+    f_min, f_sp = 0.0, 200.0 / 3
+    mels = (f - f_min) / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = math.log(6.4) / 27.0
+    return np.where(f >= min_log_hz, min_log_mel + np.log(f / min_log_hz) / logstep, mels)
+
+
+def mel_to_hz(m, htk: bool = True):
+    if htk:
+        return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
+    m = np.asarray(m, np.float64)
+    f_min, f_sp = 0.0, 200.0 / 3
+    freqs = f_min + f_sp * m
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = math.log(6.4) / 27.0
+    return np.where(m >= min_log_mel, min_log_hz * np.exp(logstep * (m - min_log_mel)), freqs)
+
+
+def mel_filterbank(
+    n_freqs: int,
+    n_mels: int,
+    sample_rate: int,
+    f_min: float = 0.0,
+    f_max: Optional[float] = None,
+    htk: bool = True,
+    norm: Optional[str] = None,
+    dtype=np.float32,
+) -> np.ndarray:
+    """Triangular mel filterbank ``[n_freqs, n_mels]`` (torchaudio
+    ``melscale_fbanks`` semantics: HTK scale, no normalization by default)."""
+    f_max = f_max if f_max is not None else sample_rate / 2.0
+    all_freqs = np.linspace(0.0, sample_rate // 2, n_freqs, dtype=np.float64)
+    m_pts = np.linspace(hz_to_mel(f_min, htk), hz_to_mel(f_max, htk), n_mels + 2)
+    f_pts = mel_to_hz(m_pts, htk)
+    f_diff = f_pts[1:] - f_pts[:-1]  # [n_mels+1]
+    slopes = f_pts[None, :] - all_freqs[:, None]  # [n_freqs, n_mels+2]
+    down = -slopes[:, :-2] / f_diff[:-1]
+    up = slopes[:, 2:] / f_diff[1:]
+    fb = np.maximum(0.0, np.minimum(down, up))
+    if norm == "slaney":
+        enorm = 2.0 / (f_pts[2 : n_mels + 2] - f_pts[:n_mels])
+        fb *= enorm[None, :]
+    return fb.astype(dtype)
+
+
+def frame_signal(
+    x: jax.Array,
+    n_fft: int,
+    hop_length: int,
+    lengths: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Center-reflect-pad then extract frames: ``[..., T] -> [..., F, n_fft]``
+    with ``F = 1 + T // hop`` (torch.stft center=True semantics).
+
+    With ``lengths`` (``[B]``), reflection happens at each utterance's TRUE
+    right edge rather than the padded batch edge, so a padded batch framed
+    here is bit-identical to framing each utterance alone — required for
+    exact parity with the reference's per-example frontend
+    (src/datasets.py:64-71). Implemented as pure index arithmetic on the
+    gather (no data-dependent shapes, jit-safe).
+    """
+    pad = n_fft // 2
+    n_frames = 1 + x.shape[-1] // hop_length
+    starts = np.arange(n_frames) * hop_length
+    if lengths is None:
+        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+        idx = starts[:, None] + np.arange(n_fft)[None, :]  # [F, n_fft] static
+        return xp[..., idx]
+    # global sample positions per (frame, tap), possibly <0 or >= length
+    pos = (starts[:, None] - pad + np.arange(n_fft)[None, :]).astype(np.int32)
+    pos = jnp.asarray(pos)[None]  # [1, F, n_fft]
+    ln = lengths.astype(jnp.int32).reshape(-1, *([1] * 2))  # [B,1,1]
+    p = jnp.where(pos < 0, -pos, pos)  # left reflect (static edge)
+    p = jnp.where(p >= ln, 2 * ln - 2 - p, p)  # right reflect at true edge
+    p = jnp.clip(p, 0, ln - 1)
+    b = x.shape[0]
+    p = jnp.broadcast_to(p, (b, n_frames, n_fft)).reshape(b, n_frames * n_fft)
+    out = jnp.take_along_axis(x, p, axis=-1)
+    return out.reshape(b, n_frames, n_fft)
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_matrices(n_fft: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Real/imag DFT bases ``[n_fft, n_fft//2+1]`` for DFT-as-matmul."""
+    n_bins = n_fft // 2 + 1
+    t = np.arange(n_fft, dtype=np.float64)[:, None]
+    k = np.arange(n_bins, dtype=np.float64)[None, :]
+    ang = -2.0 * np.pi * t * k / n_fft
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+class FrontendConfig(NamedTuple):
+    """Static frontend hyper-parameters (reference parameters.yml:79-85:
+    sr 16000, n_fft 512, win 25 ms, hop 10 ms, 80 mels)."""
+
+    sample_rate: int = 16000
+    n_fft: int = 512
+    win_length: int = 400  # samples (25 ms @ 16 kHz)
+    hop_length: int = 160  # samples (10 ms @ 16 kHz)
+    n_mels: int = 80
+    use_matmul_dft: bool = True
+
+    @classmethod
+    def from_ms(cls, sample_rate=16000, n_fft=512, win_ms=25, hop_ms=10, n_mels=80, **kw):
+        # ms -> samples conversion mirrors reference src/transforms.py:61-62
+        return cls(
+            sample_rate=sample_rate,
+            n_fft=n_fft,
+            win_length=int(win_ms / 1000 * sample_rate),
+            hop_length=int(hop_ms / 1000 * sample_rate),
+            n_mels=n_mels,
+            **kw,
+        )
+
+    def num_frames(self, num_samples: int) -> int:
+        return 1 + num_samples // self.hop_length
+
+
+def spectrogram(
+    waveform: jax.Array,
+    cfg: FrontendConfig,
+    power: Optional[float] = 2.0,
+    lengths: Optional[jax.Array] = None,
+) -> jax.Array:
+    """``[..., T] -> [..., F, n_bins]`` power (or complex if power=None)
+    spectrogram, torch.stft-compatible."""
+    frames = frame_signal(waveform, cfg.n_fft, cfg.hop_length, lengths=lengths)
+    window = jnp.asarray(padded_window(cfg.n_fft, cfg.win_length))
+    frames = frames * window
+    if cfg.use_matmul_dft and power is not None:
+        cos_m, sin_m = _dft_matrices(cfg.n_fft)
+        re = frames @ jnp.asarray(cos_m)
+        im = frames @ jnp.asarray(sin_m)
+        p = re * re + im * im
+        if power == 2.0:
+            return p
+        return p ** (power / 2.0)
+    spec = jnp.fft.rfft(frames, n=cfg.n_fft, axis=-1)
+    if power is None:
+        return spec
+    p = jnp.abs(spec) ** 2
+    return p if power == 2.0 else p ** (power / 2.0)
+
+
+def amplitude_to_db(power_spec: jax.Array, amin: float = 1e-10) -> jax.Array:
+    """torchaudio AmplitudeToDB (power, ref=1.0, no top_db)."""
+    return 10.0 * jnp.log10(jnp.maximum(power_spec, amin))
+
+
+def l2_normalize_mels(spec_db: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """F.normalize over the mel axis (last axis here; reference dim=1 on
+    [C, M, T] — src/transforms.py:184)."""
+    norm = jnp.linalg.norm(spec_db, axis=-1, keepdims=True)
+    return spec_db / jnp.maximum(norm, eps)
+
+
+def log_mel_spectrogram(
+    waveform: jax.Array,
+    cfg: FrontendConfig,
+    lengths: Optional[jax.Array] = None,
+    mel_fb: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Full frontend: ``[B, T] -> ([B, F, n_mels], frames_mask [B, F])``.
+
+    Matches reference MelSpectrogram.__call__ (src/transforms.py:158-184):
+    power spectrogram -> mel scale -> dB -> L2-normalize over mels. When
+    ``lengths`` is given, frames at/after ``1 + length // hop`` are zeroed
+    (identical to reference zero-padded collation, src/datasets.py:64-71).
+    """
+    if mel_fb is None:
+        mel_fb = jnp.asarray(
+            mel_filterbank(cfg.n_fft // 2 + 1, cfg.n_mels, cfg.sample_rate)
+        )
+    p = spectrogram(waveform, cfg, power=2.0, lengths=lengths)  # [B, F, bins]
+    mel = p @ mel_fb.astype(p.dtype)  # [B, F, n_mels]
+    mel_db = amplitude_to_db(mel)
+    out = l2_normalize_mels(mel_db)
+    mask = None
+    if lengths is not None:
+        n_frames = out.shape[-2]
+        frame_ids = jnp.arange(n_frames)[None, :]
+        valid = 1 + lengths[:, None] // cfg.hop_length
+        mask = (frame_ids < valid).astype(out.dtype)  # [B, F]
+        out = out * mask[..., None]
+    return out, mask

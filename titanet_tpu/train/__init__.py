@@ -1,0 +1,18 @@
+"""Training/eval engine: state, steps, metrics, checkpointing, loop."""
+
+from titanet_tpu.train.metrics import (  # noqa: F401
+    all_pairs_scores_labels,
+    compute_eer,
+    compute_mindcf,
+    cosine_scores,
+    get_test_metrics,
+    get_train_val_metrics,
+)
+from titanet_tpu.train.state import (  # noqa: F401
+    TrainState,
+    create_train_state,
+    embed_step,
+    eval_step,
+    make_optimizer,
+    train_step,
+)
