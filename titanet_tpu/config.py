@@ -43,7 +43,8 @@ _TYPES: dict = {}
 
 def _resolve(tp):
     if isinstance(tp, str):
-        return _TYPES.get(tp, tp)
+        # PEP 563 stores the annotation source text: 'x: "Foo"' -> '"Foo"'
+        return _TYPES.get(tp.strip("\"'"), tp)
     return tp
 
 

@@ -78,7 +78,7 @@ def write_wav(path: str, waveform: np.ndarray, sample_rate: int) -> None:
     x = np.asarray(waveform, np.float32)
     if x.ndim == 1:
         x = x[None]
-    pcm = np.clip(x.T * 32767.0, -32768, 32767).astype("<i2")
+    pcm = np.clip(np.round(x.T * 32768.0), -32768, 32767).astype("<i2")
     with wave.open(path, "wb") as w:
         w.setnchannels(x.shape[0])
         w.setsampwidth(2)

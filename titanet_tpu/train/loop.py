@@ -1,0 +1,327 @@
+"""Training/eval/test/infer loops.
+
+Rebuild of the reference engine (``/root/reference/src/learn.py:204-493``)
+around the fused jitted steps:
+
+- per-epoch train with data/compute wall-time split, epoch classification
+  metrics, optional embedding figures, console/JSONL/W&B logging,
+- validation every ``val_every`` epochs plus first/last (reference
+  src/learn.py:271-287),
+- abort on non-finite loss (reference src/learn.py:110-112 — here by
+  raising, not sys.exit),
+- orbax checkpoints every ``checkpoints_frequency`` epochs + final, WITH
+  resume (reference was save-only),
+- final verification test: embed each test utterance ONCE, score all pairs
+  with one matmul (the reference ran 2*N^2 batch-1 forwards,
+  src/learn.py:429-439).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from titanet_tpu.data.loader import Batch, DataLoader
+from titanet_tpu.ops.frontend import FrontendConfig
+from titanet_tpu.train import checkpoint as ckpt
+from titanet_tpu.train.metrics import (
+    all_pairs_scores_labels,
+    get_test_metrics,
+    get_train_val_metrics,
+)
+from titanet_tpu.train.state import TrainState, embed_step, eval_step, train_step
+from titanet_tpu.utils.logging import ConsoleLogger, JsonlLogger, StepTimer, WandbLogger
+
+
+class NonFiniteLossError(RuntimeError):
+    pass
+
+
+def _device_batch(batch: Batch, sharding=None):
+    arrays = (
+        jnp.asarray(batch.waveform),
+        jnp.asarray(batch.lengths),
+        jnp.asarray(batch.speaker_ids),
+    )
+    if sharding is not None:
+        arrays = tuple(jax.device_put(a, sharding) for a in arrays)
+    return arrays
+
+
+def train_one_epoch(
+    epoch: int,
+    total_epochs: int,
+    state: TrainState,
+    loader: DataLoader,
+    *,
+    model,
+    head,
+    optimizer,
+    frontend: FrontendConfig,
+    augment=None,
+    renorm_head: bool = False,
+    console: Optional[ConsoleLogger] = None,
+    batch_sharding=None,
+    collect_embeddings: bool = False,
+):
+    timer = StepTimer()
+    losses, all_preds, all_targets, all_emb = [], [], [], []
+    loader.set_epoch(epoch)
+    step = 0
+    n_steps = len(loader)
+    timer.start("data")
+    for batch in loader:
+        wav, lengths, speakers = _device_batch(batch, batch_sharding)
+        timer.start("model")
+        state, metrics = train_step(
+            state, wav, lengths, speakers,
+            model=model, head=head, optimizer=optimizer, frontend=frontend,
+            augment=augment, renorm_head=renorm_head,
+        )
+        loss = float(metrics["loss"])
+        timer.start("data")
+        if not math.isfinite(loss):
+            raise NonFiniteLossError(f"Loss is {loss} at epoch {epoch} step {step}")
+        losses.append(loss)
+        all_targets.extend(batch.speaker_ids.tolist())
+        all_preds.extend(np.asarray(metrics["preds"]).tolist())
+        if collect_embeddings:
+            all_emb.append(np.asarray(metrics["embeddings"]))
+        step += 1
+        if console:
+            console.log_step("train", epoch, total_epochs, step, n_steps, loss,
+                             {"model": timer.totals.get("model", 0.0) / step})
+    timer.stop()
+
+    epoch_metrics: Dict[str, float] = {}
+    if all_preds:
+        epoch_metrics = get_train_val_metrics(all_targets, all_preds, prefix="train")
+    total_loss = float(np.sum(losses)) if losses else float("nan")
+    epoch_metrics["train/total_loss"] = total_loss
+    epoch_metrics["train/avg_loss"] = total_loss / max(len(losses), 1)
+    epoch_metrics.update(timer.epoch_metrics("train"))
+    embeddings = np.concatenate(all_emb) if all_emb else None
+    return state, epoch_metrics, (embeddings, all_targets)
+
+
+def evaluate(
+    epoch,
+    total_epochs,
+    state: TrainState,
+    loader: DataLoader,
+    *,
+    model,
+    head,
+    frontend: FrontendConfig,
+    console: Optional[ConsoleLogger] = None,
+    batch_sharding=None,
+    collect_embeddings: bool = False,
+    prefix: str = "val",
+):
+    """No-grad mirror (reference evaluate, src/learn.py:313-406)."""
+    timer = StepTimer()
+    losses, all_preds, all_targets, all_emb = [], [], [], []
+    loader.set_epoch(0)
+    timer.start("data")
+    for batch in loader:
+        wav, lengths, speakers = _device_batch(batch, batch_sharding)
+        timer.start("model")
+        out = eval_step(
+            state, wav, lengths, speakers, model=model, head=head, frontend=frontend
+        )
+        losses.append(float(out["loss"]))
+        timer.start("data")
+        all_targets.extend(batch.speaker_ids.tolist())
+        all_preds.extend(np.asarray(out["preds"]).tolist())
+        if collect_embeddings:
+            all_emb.append(np.asarray(out["embeddings"]))
+    timer.stop()
+    metrics: Dict[str, float] = {}
+    if all_preds:
+        metrics = get_train_val_metrics(all_targets, all_preds, prefix=prefix)
+    total_loss = float(np.sum(losses)) if losses else float("nan")
+    metrics[f"{prefix}/total_loss"] = total_loss
+    metrics[f"{prefix}/avg_loss"] = total_loss / max(len(losses), 1)
+    metrics.update(timer.epoch_metrics(prefix))
+    if console:
+        console.log_epoch(prefix, epoch, total_epochs, metrics)
+    embeddings = np.concatenate(all_emb) if all_emb else None
+    return metrics, (embeddings, all_targets)
+
+
+def run_verification(
+    state: TrainState,
+    loader: DataLoader,
+    *,
+    model,
+    frontend: FrontendConfig,
+    mindcf_p_target: float = 0.01,
+    mindcf_c_fa: float = 1.0,
+    mindcf_c_miss: float = 1.0,
+    console: Optional[ConsoleLogger] = None,
+):
+    """Batched all-pairs verification (reference test, src/learn.py:409-459)."""
+    embeddings, speakers = [], []
+    loader.set_epoch(0)
+    for batch in loader:
+        wav, lengths, spk = _device_batch(batch)
+        emb = embed_step(
+            state.params["backbone"], state.batch_stats, wav, lengths,
+            model=model, frontend=frontend,
+        )
+        embeddings.append(np.asarray(emb))
+        speakers.extend(np.asarray(spk).tolist())
+    embeddings = np.concatenate(embeddings)
+    scores, labels = all_pairs_scores_labels(embeddings, speakers)
+    metrics = get_test_metrics(
+        scores, labels,
+        mindcf_p_target=mindcf_p_target, mindcf_c_fa=mindcf_c_fa,
+        mindcf_c_miss=mindcf_c_miss, prefix="test",
+    )
+    if console:
+        console.log_epoch("test", None, None, metrics)
+    return metrics
+
+
+def training_loop(
+    run_name: str,
+    epochs: int,
+    state: TrainState,
+    train_loader: DataLoader,
+    checkpoints_path: str,
+    *,
+    model,
+    head,
+    optimizer,
+    frontend: FrontendConfig,
+    augment=None,
+    renorm_head: bool = False,
+    test_loader: Optional[DataLoader] = None,
+    val_loader: Optional[DataLoader] = None,
+    val_every: Optional[int] = None,
+    figures_path: Optional[str] = None,
+    reduction_method: str = "svd",
+    checkpoints_frequency: Optional[int] = 25,
+    resume: bool = False,
+    console: Optional[ConsoleLogger] = None,
+    jsonl: Optional[JsonlLogger] = None,
+    wandb: Optional[WandbLogger] = None,
+    batch_sharding=None,
+    mindcf_p_target: float = 0.01,
+    mindcf_c_fa: float = 1.0,
+    mindcf_c_miss: float = 1.0,
+) -> TrainState:
+    """Full training loop (reference training_loop, src/learn.py:204-310)
+    with resume support."""
+    console = console or ConsoleLogger(enabled=False)
+    jsonl = jsonl or JsonlLogger(None)
+    wandb = wandb or WandbLogger(enabled=False)
+    run_ckpt_path = os.path.join(checkpoints_path, run_name)
+    figures_dir = os.path.join(figures_path, run_name) if figures_path else None
+    if figures_dir:
+        os.makedirs(figures_dir, exist_ok=True)
+
+    start_epoch = 0
+    if resume:
+        restored, start_epoch = ckpt.restore_latest(run_ckpt_path, state)
+        if restored is not None:
+            state = restored
+            print(f"[resumed from epoch {start_epoch}]")
+
+    for epoch in range(start_epoch + 1, epochs + 1):
+        state, metrics, (train_emb, train_targets) = train_one_epoch(
+            epoch, epochs, state, train_loader,
+            model=model, head=head, optimizer=optimizer, frontend=frontend,
+            augment=augment, renorm_head=renorm_head, console=console,
+            batch_sharding=batch_sharding,
+            collect_embeddings=figures_dir is not None,
+        )
+        console.log_epoch("train", epoch, epochs, metrics)
+        if figures_dir is not None and train_emb is not None:
+            from titanet_tpu.utils.viz import visualize_embeddings
+
+            fig_path = os.path.join(figures_dir, f"epoch_{epoch}_train.png")
+            visualize_embeddings(
+                train_emb, train_targets, reduction_method=reduction_method,
+                save=fig_path,
+            )
+        jsonl.log(metrics, step=epoch)
+        wandb.log(metrics, step=epoch)
+
+        if checkpoints_frequency and epoch % checkpoints_frequency == 0:
+            ckpt.save_checkpoint(run_ckpt_path, epoch, state)
+
+        if val_loader is not None and val_every is not None and (
+            epoch % val_every == 0 or epoch == 1 or epoch == epochs
+        ):
+            val_metrics, (val_emb, val_targets) = evaluate(
+                epoch, epochs, state, val_loader,
+                model=model, head=head, frontend=frontend, console=console,
+                batch_sharding=batch_sharding,
+                collect_embeddings=figures_dir is not None,
+            )
+            if figures_dir is not None and val_emb is not None:
+                from titanet_tpu.utils.viz import visualize_embeddings
+
+                visualize_embeddings(
+                    val_emb, val_targets, reduction_method=reduction_method,
+                    save=os.path.join(figures_dir, f"epoch_{epoch}_val.png"),
+                )
+            jsonl.log(val_metrics, step=epoch)
+            wandb.log(val_metrics, step=epoch)
+
+    ckpt.save_checkpoint(run_ckpt_path, epochs, state)
+
+    if test_loader is not None:
+        test_metrics = run_verification(
+            state, test_loader, model=model, frontend=frontend,
+            mindcf_p_target=mindcf_p_target, mindcf_c_fa=mindcf_c_fa,
+            mindcf_c_miss=mindcf_c_miss, console=console,
+        )
+        jsonl.log(test_metrics, step=epochs)
+        import json as _json
+
+        wandb.set_notes(_json.dumps(test_metrics, indent=2))
+    return state
+
+
+def infer(
+    state: TrainState,
+    dataset,
+    utterance_indices,
+    *,
+    model,
+    frontend: FrontendConfig,
+    sample_rate: int = 16000,
+    batch_size: int = 8,
+):
+    """Embed chosen utterances (reference infer, src/learn.py:462-493),
+    batched instead of one-at-a-time."""
+    from titanet_tpu.data.loader import DataLoader as _DL, ChunkConfig
+
+    subset_loader = _DL(
+        _Subset(dataset, utterance_indices), batch_size=batch_size, shuffle=False,
+        drop_last=False, chunk=ChunkConfig(enabled=False),
+        sample_rate=sample_rate, prefetch=0,
+    )
+    out, speakers = [], []
+    for batch in subset_loader:
+        emb = embed_step(
+            state.params["backbone"], state.batch_stats,
+            jnp.asarray(batch.waveform), jnp.asarray(batch.lengths),
+            model=model, frontend=frontend,
+        )
+        out.append(np.asarray(emb))
+        speakers.extend(batch.speaker_ids.tolist())
+    return np.concatenate(out), speakers
+
+
+def _Subset(dataset, indices):
+    from titanet_tpu.data.dataset import Subset
+
+    return Subset(dataset, indices)
