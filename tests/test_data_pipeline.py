@@ -1,0 +1,123 @@
+"""Data layer tests: splits, loader determinism, buckets, augmentation
+plumbing, pair protocol, download utility."""
+
+import os
+
+import numpy as np
+import pytest
+
+from titanet_tpu.data import (
+    ChunkConfig,
+    DataLoader,
+    ReverbConfig,
+    SpeedConfig,
+    Subset,
+    SyntheticSpeakerDataset,
+    write_wav,
+)
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return SyntheticSpeakerDataset(n_speakers=6, utterances_per_speaker=10)
+
+
+def test_splits_match_reference_semantics(ds):
+    """Per-speaker split layout (reference src/datasets.py:191-229):
+    first V utterances -> val; next T (first K speakers) -> test; rest train."""
+    train, val, test = ds.get_splits(
+        val_utterances_per_speaker=2, test_speakers=3, test_utterances_per_speaker=2
+    )
+    assert len(val) == 6 * 2
+    assert len(test) == 3 * 2
+    assert len(train) == 60 - len(val) - len(test)
+    assert not set(train) & set(val) and not set(val) & set(test)
+    # val/test are prefix-positioned per speaker
+    for s in ds.speakers[:3]:
+        utts = ds.speakers_utterances[s]
+        assert utts[0] in val and utts[1] in val
+        assert utts[2] in test and utts[3] in test
+
+
+def test_loader_determinism_and_buckets(ds):
+    loader = DataLoader(ds, batch_size=8, seed=7,
+                        chunk=ChunkConfig(max_length=1.5, enabled=True), prefetch=0)
+    loader.set_epoch(3)
+    b1 = list(loader)
+    loader.set_epoch(3)
+    b2 = list(loader)
+    assert len(b1) == len(ds) // 8  # drop_last
+    for x, y in zip(b1, b2):
+        np.testing.assert_array_equal(x.waveform, y.waveform)
+        np.testing.assert_array_equal(x.speaker_ids, y.speaker_ids)
+    # bucketed shapes: only a handful of distinct time lengths
+    shapes = {b.waveform.shape[1] for b in b1}
+    assert shapes <= set(loader.buckets)
+    # different epoch -> different order
+    loader.set_epoch(4)
+    b3 = list(loader)
+    assert any(
+        not np.array_equal(x.speaker_ids, y.speaker_ids) for x, y in zip(b1, b3)
+    )
+
+
+def test_chunking_respects_max_length(ds):
+    loader = DataLoader(ds, batch_size=4,
+                        chunk=ChunkConfig(max_length=1.5, lengths=(1.0, 1.5), enabled=True),
+                        prefetch=0)
+    for batch in loader:
+        assert (batch.lengths <= int(1.5 * 16000)).all()
+        break
+
+
+def test_speed_and_reverb_plumbing(tmp_path, ds):
+    rng = np.random.default_rng(0)
+    rir_path = str(tmp_path / "rir.wav")
+    write_wav(rir_path, (rng.standard_normal(800) * 0.1).astype(np.float32), 16000)
+    loader = DataLoader(
+        ds, batch_size=4, prefetch=0,
+        chunk=ChunkConfig(enabled=False),
+        speed=SpeedConfig(rates=(0.9, 1.1), probability=1.0, enabled=True),
+        reverb=ReverbConfig(rir_paths=(rir_path,), probability=1.0, enabled=True),
+    )
+    batch = next(iter(loader))
+    assert np.isfinite(batch.waveform).all()
+    # speed perturb changed lengths vs the raw utterances
+    raw = [ds[i]["waveform"].shape[-1] for i in range(4)]
+    assert any(l not in raw for l in batch.lengths.tolist())
+
+
+def test_prefetch_thread_equivalence(ds):
+    l0 = DataLoader(ds, batch_size=8, seed=1, prefetch=0)
+    l2 = DataLoader(ds, batch_size=8, seed=1, prefetch=2)
+    for a, b in zip(l0, l2):
+        np.testing.assert_array_equal(a.waveform, b.waveform)
+
+
+def test_get_sample_pairs_protocol(ds):
+    sub = Subset(ds, list(range(6)))
+    pairs = list(sub.get_sample_pairs([0, 1, 2]))
+    assert len(pairs) == 9  # product incl. self-pairs
+    assert pairs[0][2]  # self-pair is same-speaker
+
+
+def test_download_file_url(tmp_path):
+    from titanet_tpu.utils.download import download_url_to_file
+
+    src = tmp_path / "src.bin"
+    src.write_bytes(b"hello world")
+    dest = str(tmp_path / "out.bin")
+    import hashlib
+
+    h = hashlib.sha256(b"hello world").hexdigest()[:16]
+    download_url_to_file(f"file://{src}", dest, hash_prefix=h)
+    assert open(dest, "rb").read() == b"hello world"
+    with pytest.raises(RuntimeError):
+        download_url_to_file(f"file://{src}", dest, hash_prefix="deadbeef")
+    assert not os.path.exists(dest)
+
+
+def test_dataset_info(ds):
+    info = ds.info()
+    assert info["num_speakers"] == 6 and info["num_utterances"] == 60
+    assert info["total_duration"] > 0

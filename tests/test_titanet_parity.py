@@ -114,3 +114,21 @@ def test_titanet_batch_independence():
     assert np.abs(g[2]).max() > 0
     others = np.abs(np.delete(g, 2, axis=0)).max()
     assert others == 0.0, f"cross-batch leakage: {others}"
+
+
+def test_closed_form_param_count_matches_traced():
+    from titanet_tpu.models.titanet import _SIZE_PRESETS, titanet_param_count
+
+    for size, n_mega in [("s", 3), ("m", 2), ("l", 1)]:
+        preset = _SIZE_PRESETS[size]
+        model = get_titanet(model_size=size, n_mega_blocks=n_mega)
+        formula = titanet_param_count(
+            n_mega_blocks=n_mega,
+            hidden=preset["encoder_hidden_size"],
+            kernel=preset["mega_block_kernel_size"],
+        )
+        assert formula == count_params(model), (size, n_mega)
+    # simple_pool variant
+    model = TitaNet(n_mega_blocks=2, simple_pool=True)
+    formula = titanet_param_count(n_mega_blocks=2, simple_pool=True)
+    assert formula == count_params(model)

@@ -17,7 +17,13 @@ import jax
 import jax.numpy as jnp
 
 from titanet_tpu.config import Config, load_config
-from titanet_tpu.data import ChunkConfig, DataLoader, get_datasets
+from titanet_tpu.data import (
+    ChunkConfig,
+    DataLoader,
+    ReverbConfig,
+    SpeedConfig,
+    get_datasets,
+)
 from titanet_tpu.losses.heads import build_head, head_param_count
 from titanet_tpu.models import DumbConvNet, DVectorBaseline, get_titanet
 from titanet_tpu.ops.frontend import FrontendConfig
@@ -100,9 +106,28 @@ def train(cfg: Config) -> None:
         lengths=tuple(cfg.augmentation.chunk.lengths),
         enabled="chunk" in (cfg.augmentation.enable or []),
     )
+    enabled_augs = cfg.augmentation.enable or []
+    speed = SpeedConfig(
+        rates=(cfg.augmentation.speed.min, 1.0, cfg.augmentation.speed.max),
+        probability=cfg.augmentation.probability,
+        enabled="speed" in enabled_augs,
+    )
+    rir_paths: tuple = ()
+    if "reverb" in enabled_augs:
+        from pathlib import Path
+
+        rir_paths = tuple(
+            str(p) for p in Path(cfg.augmentation.rir.corpora_path).rglob("*.wav")
+        )
+    reverb = ReverbConfig(
+        rir_paths=rir_paths,
+        probability=cfg.augmentation.probability,
+        enabled="reverb" in enabled_augs and bool(rir_paths),
+    )
     train_loader = DataLoader(
         train_ds, batch_size=cfg.training.batch_size, shuffle=True,
-        chunk=chunk, sample_rate=cfg.audio.sample_rate, seed=cfg.generic.seed,
+        chunk=chunk, speed=speed, reverb=reverb,
+        sample_rate=cfg.audio.sample_rate, seed=cfg.generic.seed,
     )
     val_loader = DataLoader(
         val_ds, batch_size=cfg.validation.batch_size, shuffle=False,

@@ -59,6 +59,19 @@ class SpeakerDataset:
     def get_num_speakers(self) -> int:
         return len(self.speakers)
 
+    def get_sample_pairs(self, indices: Optional[Sequence[int]] = None):
+        """Lazy (i, j, same_speaker) triples over the Cartesian product of
+        utterances — the reference pair protocol (src/datasets.py:165-183:
+        itertools.product incl. self-pairs and both orderings), minus its
+        O(N^2) eager materialization. Batched scoring should prefer
+        :func:`titanet_tpu.train.metrics.all_pairs_scores_labels`."""
+        import itertools
+
+        indices = list(indices) if indices is not None else list(range(len(self)))
+        spk = {i: self[i]["speaker"] for i in indices}
+        for i1, i2 in itertools.product(indices, repeat=2):
+            yield i1, i2, spk[i1] == spk[i2]
+
     def get_random_utterances(
         self, n_speakers: int = 5, n_utterances_per_speaker: int = 20, seed=None
     ):

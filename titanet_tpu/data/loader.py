@@ -51,6 +51,27 @@ class ChunkConfig:
     enabled: bool = True
 
 
+@dataclass
+class SpeedConfig:
+    """Host-side speed perturbation (reference SpeedPerturbation via sox,
+    src/transforms.py:78-108). Discrete rates (torchaudio SpeedPerturbation
+    convention) so the polyphase kernels are cached per rate."""
+
+    rates: Sequence[float] = (0.95, 1.0, 1.05)
+    probability: float = 1.0
+    enabled: bool = False
+
+
+@dataclass
+class ReverbConfig:
+    """Host-side convolution reverb (reference Reverb, src/transforms.py:
+    236-298): random RIR from a corpus dir, power-normalized, convolved."""
+
+    rir_paths: Sequence[str] = ()
+    probability: float = 1.0
+    enabled: bool = False
+
+
 def default_buckets(sample_rate: int, chunk: ChunkConfig, max_seconds: float = 20.0):
     """Bucket boundaries in samples: the chunk lengths plus power-of-two-ish
     steps up to ``max_seconds`` for unchunked (eval) utterances."""
@@ -72,6 +93,8 @@ class DataLoader:
         shuffle: bool = True,
         drop_last: bool = True,
         chunk: Optional[ChunkConfig] = None,
+        speed: Optional["SpeedConfig"] = None,
+        reverb: Optional["ReverbConfig"] = None,
         sample_rate: int = 16000,
         seed: int = 42,
         buckets: Optional[List[int]] = None,
@@ -82,11 +105,14 @@ class DataLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.chunk = chunk or ChunkConfig(enabled=False)
+        self.speed = speed or SpeedConfig(enabled=False)
+        self.reverb = reverb or ReverbConfig(enabled=False)
         self.sample_rate = sample_rate
         self.seed = seed
         self.buckets = buckets or default_buckets(sample_rate, self.chunk)
         self.prefetch = prefetch
         self.epoch = 0
+        self._rir_cache: dict = {}
 
     def __len__(self):
         n = len(self.dataset)
@@ -104,11 +130,45 @@ class DataLoader:
         sr = ex["sample_rate"]
         if sr != self.sample_rate:
             wav = _resample_host(wav, sr, self.sample_rate)
+        if self.speed.enabled and rng.random() < self.speed.probability:
+            rate = float(rng.choice(self.speed.rates))
+            if rate != 1.0:
+                wav = _resample_host(
+                    wav, self.sample_rate, int(round(self.sample_rate / rate))
+                )
+        if self.reverb.enabled and self.reverb.rir_paths and (
+            rng.random() < self.reverb.probability
+        ):
+            wav = self._apply_reverb(wav, rng)
         if self.chunk.enabled and len(wav) / self.sample_rate > self.chunk.max_length:
             length = int(rng.choice(self.chunk.lengths) * self.sample_rate)
+            length = min(length, len(wav))  # chunk longer than utterance
             start = rng.integers(0, len(wav) - length + 1)
             wav = wav[start : start + length]
         return wav, ex["speaker_id"]
+
+    def _apply_reverb(self, wav: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        """Reference reverb semantics (src/transforms.py:276-296): random
+        RIR, resampled to the pipeline rate, power-normalized, causal
+        convolution truncated to input length (FFT-based)."""
+        path = str(rng.choice(list(self.reverb.rir_paths)))
+        rir = self._rir_cache.get(path)
+        if rir is None:
+            from titanet_tpu.data.audio_io import read_audio
+
+            r, r_sr = read_audio(path)
+            r = r.mean(axis=0) if r.ndim == 2 else r
+            if r_sr != self.sample_rate:
+                r = _resample_host(r, r_sr, self.sample_rate)
+            r = r / max(np.linalg.norm(r), 1e-12)
+            self._rir_cache[path] = r
+            rir = r
+        t = len(wav)
+        n = 1
+        while n < t + len(rir) - 1:
+            n *= 2
+        out = np.fft.irfft(np.fft.rfft(wav, n) * np.fft.rfft(rir, n), n)[:t]
+        return out.astype(np.float32)
 
     def _bucket_for(self, n: int) -> int:
         for b in self.buckets:

@@ -112,40 +112,76 @@ def mel_filterbank(
     return fb.astype(dtype)
 
 
+def _padded_buffer(
+    x: jax.Array, pad: int, extra: int, lengths: Optional[jax.Array]
+) -> jax.Array:
+    """Build the center-padded signal buffer ``[B, pad + T + pad + extra]``
+    with reflection at the LEFT edge (static: all utterances start at 0) and
+    at each utterance's TRUE right edge (per-row dynamic slice + scatter —
+    O(B * n_fft) work, no large gathers)."""
+    b, t = x.shape
+    left = jnp.flip(x[:, 1 : pad + 1], axis=-1)  # reflect around sample 0
+    if lengths is None:
+        right = jnp.flip(x[:, t - pad - 1 : t - 1], axis=-1)
+        return jnp.concatenate(
+            [left, x, right, jnp.zeros((b, extra), x.dtype)], axis=-1
+        )
+    buf = jnp.concatenate(
+        [left, x, jnp.zeros((b, pad + extra), x.dtype)], axis=-1
+    )
+
+    # tail[j] = x[len - 2 - j] for j in [0, pad): reversed slice ending at len-1
+    def fix_row(row_buf, row_x, ln):
+        start = jnp.clip(ln - 1 - pad, 0, t - pad)
+        tail = jnp.flip(jax.lax.dynamic_slice(row_x, (start,), (pad,)), axis=-1)
+        # when ln-1-pad clipped at 0, reflect indices also clip (degenerate
+        # ultra-short utterances), matching jnp.pad's behavior closely enough
+        return jax.lax.dynamic_update_slice(row_buf, tail, (pad + ln,))
+
+    return jax.vmap(fix_row)(buf, x, lengths.astype(jnp.int32))
+
+
 def frame_signal(
     x: jax.Array,
     n_fft: int,
     hop_length: int,
     lengths: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Center-reflect-pad then extract frames: ``[..., T] -> [..., F, n_fft]``
+    """Center-reflect-pad then extract frames: ``[B, T] -> [B, F, n_fft]``
     with ``F = 1 + T // hop`` (torch.stft center=True semantics).
 
     With ``lengths`` (``[B]``), reflection happens at each utterance's TRUE
     right edge rather than the padded batch edge, so a padded batch framed
     here is bit-identical to framing each utterance alone — required for
     exact parity with the reference's per-example frontend
-    (src/datasets.py:64-71). Implemented as pure index arithmetic on the
-    gather (no data-dependent shapes, jit-safe).
+    (src/datasets.py:64-71).
+
+    TPU note: frames are materialized with ``ceil(n_fft / hop)`` contiguous
+    strided-slice reshapes of one padded buffer — NOT a ``[B, F, n_fft]``
+    index gather, which measures ~50 ms/batch on TPU (random-access loads);
+    the slice/concat form is pure sequential memory traffic.
     """
+    if x.ndim == 1:
+        x = x[None]
+        squeeze = True
+    else:
+        squeeze = False
+    b, t = x.shape
     pad = n_fft // 2
-    n_frames = 1 + x.shape[-1] // hop_length
-    starts = np.arange(n_frames) * hop_length
-    if lengths is None:
-        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
-        idx = starts[:, None] + np.arange(n_fft)[None, :]  # [F, n_fft] static
-        return xp[..., idx]
-    # global sample positions per (frame, tap), possibly <0 or >= length
-    pos = (starts[:, None] - pad + np.arange(n_fft)[None, :]).astype(np.int32)
-    pos = jnp.asarray(pos)[None]  # [1, F, n_fft]
-    ln = lengths.astype(jnp.int32).reshape(-1, *([1] * 2))  # [B,1,1]
-    p = jnp.where(pos < 0, -pos, pos)  # left reflect (static edge)
-    p = jnp.where(p >= ln, 2 * ln - 2 - p, p)  # right reflect at true edge
-    p = jnp.clip(p, 0, ln - 1)
-    b = x.shape[0]
-    p = jnp.broadcast_to(p, (b, n_frames, n_fft)).reshape(b, n_frames * n_fft)
-    out = jnp.take_along_axis(x, p, axis=-1)
-    return out.reshape(b, n_frames, n_fft)
+    n_frames = 1 + t // hop_length
+    k_slices = -(-n_fft // hop_length)  # ceil
+    # buffer must cover (n_frames-1)*hop + k_slices*hop samples
+    need = (n_frames - 1 + k_slices) * hop_length
+    extra = max(need - (t + 2 * pad), 0)
+    buf = _padded_buffer(x, pad, extra, lengths)
+    pieces = [
+        buf[:, k * hop_length : (n_frames + k) * hop_length].reshape(
+            b, n_frames, hop_length
+        )
+        for k in range(k_slices)
+    ]
+    frames = jnp.concatenate(pieces, axis=-1)[..., :n_fft]
+    return frames[0] if squeeze else frames
 
 
 @functools.lru_cache(maxsize=8)
@@ -197,9 +233,11 @@ def spectrogram(
     window = jnp.asarray(padded_window(cfg.n_fft, cfg.win_length))
     frames = frames * window
     if cfg.use_matmul_dft and power is not None:
+        # HIGHEST precision: TPU's default bf16 matmul loses ~5e-2 after the
+        # dB + L2-norm chain; the DFT is parity-critical (SURVEY.md §7).
         cos_m, sin_m = _dft_matrices(cfg.n_fft)
-        re = frames @ jnp.asarray(cos_m)
-        im = frames @ jnp.asarray(sin_m)
+        re = jnp.dot(frames, jnp.asarray(cos_m), precision=jax.lax.Precision.HIGHEST)
+        im = jnp.dot(frames, jnp.asarray(sin_m), precision=jax.lax.Precision.HIGHEST)
         p = re * re + im * im
         if power == 2.0:
             return p
@@ -241,7 +279,9 @@ def log_mel_spectrogram(
             mel_filterbank(cfg.n_fft // 2 + 1, cfg.n_mels, cfg.sample_rate)
         )
     p = spectrogram(waveform, cfg, power=2.0, lengths=lengths)  # [B, F, bins]
-    mel = p @ mel_fb.astype(p.dtype)  # [B, F, n_mels]
+    mel = jnp.dot(
+        p, mel_fb.astype(p.dtype), precision=jax.lax.Precision.HIGHEST
+    )  # [B, F, n_mels]
     mel_db = amplitude_to_db(mel)
     out = l2_normalize_mels(mel_db)
     mask = None

@@ -68,11 +68,21 @@ def _fused_weights(cfg: FrontendConfig) -> Tuple[np.ndarray, np.ndarray, np.ndar
 
 def _mel_kernel(frames_ref, basis_ref, fb_ref, out_ref, *, bins_pad, n_mels):
     frames = frames_ref[:]  # [TN, n_fft]
-    spec = jnp.dot(frames, basis_ref[:], preferred_element_type=jnp.float32)
+    # HIGHEST precision: the MXU's native bf16 passes lose ~5e-2 through the
+    # power->dB->L2 chain (power spans 1e-10..1); the DFT is parity-critical.
+    spec = jnp.dot(
+        frames, basis_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     re = spec[:, :bins_pad]
     im = spec[:, bins_pad:]
     power = re * re + im * im  # [TN, bins_pad]; padded bins are exactly 0
-    mel = jnp.dot(power, fb_ref[:], preferred_element_type=jnp.float32)
+    mel = jnp.dot(
+        power, fb_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
     # L2 norm over the real mel bins only (padded lanes hold 10*log10(1e-10))
     col = jax.lax.broadcasted_iota(jnp.int32, db.shape, 1)

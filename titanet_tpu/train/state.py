@@ -47,8 +47,12 @@ def create_train_state(
     n_classes: int,
 ) -> Tuple[TrainState, Dict]:
     k_model, k_head, k_state = jax.random.split(key, 3)
-    variables = model.init(k_model, example_mel, train=False)
-    head_vars = head.init(
+    # jit the inits: eager initialization dispatches per-op, which is
+    # pathologically slow through remote-TPU tunnels
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        k_model, example_mel, train=False
+    )
+    head_vars = jax.jit(head.init)(
         k_head,
         jnp.zeros((2, model.embedding_size), example_mel.dtype),
         jnp.zeros((2,), jnp.int32),
@@ -58,7 +62,7 @@ def create_train_state(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=variables.get("batch_stats", {}),
-        opt_state=optimizer.init(params),
+        opt_state=jax.jit(optimizer.init)(params),
         key=k_state,
     )
 

@@ -118,6 +118,26 @@ def visualize_embeddings(
     return save
 
 
+def play_audio(waveform, sample_rate: int):
+    """Notebook audio player (reference src/utils.py:225-237); no-op with a
+    message outside IPython."""
+    wav = np.asarray(waveform)
+    if wav.ndim == 1:
+        wav = wav[None]
+    try:
+        import IPython.display as ipd
+
+        if wav.shape[0] == 1:
+            ipd.display(ipd.Audio(wav[0], rate=sample_rate))
+        elif wav.shape[0] == 2:
+            ipd.display(ipd.Audio((wav[0], wav[1]), rate=sample_rate))
+        else:
+            raise ValueError("Waveforms with more than 2 channels are not supported")
+    except ImportError:
+        print(f"[audio: {wav.shape[-1] / sample_rate:.2f}s @ {sample_rate} Hz "
+              "(IPython unavailable)]")
+
+
 def plot_spectrogram(spectrogram, figsize=(12, 3), save: Optional[str] = None,
                      show: bool = False):
     """Spectrogram imshow (reference src/utils.py:200-222); expects
