@@ -15,11 +15,14 @@ import time
 
 import numpy as np
 
-B = 32
+B = 128  # TPU batch (bf16 B=128 sits at peak utilization for TitaNet-S)
+B_CPU = 32  # reference CPU batch (throughput there is batch-independent)
 T_SECONDS = 3.0
 N_MELS = 80
 SR = 16000
 FRAMES = int(T_SECONDS * SR) // 160 + 1  # 301
+DTYPE = "bfloat16"  # embedding cosine drift vs f32 is ~3e-4, within the
+#                     1e-3 parity budget (BASELINE.md); params stay f32
 
 
 def bench_tpu(mel: np.ndarray) -> float:
@@ -28,31 +31,47 @@ def bench_tpu(mel: np.ndarray) -> float:
 
     from titanet_tpu.models import get_titanet, l2_normalize
 
-    model = get_titanet(model_size="s", n_mega_blocks=17)
-    x = jnp.asarray(mel)
+    dtype = jnp.bfloat16 if DTYPE == "bfloat16" else None
+    model = get_titanet(model_size="s", n_mega_blocks=17, dtype=dtype)
+    x = jnp.asarray(mel, jnp.bfloat16 if dtype else jnp.float32)
     variables = jax.jit(model.init)(jax.random.key(0), x[:1])
 
-    iters = 50
-
     @jax.jit
-    def embed_loop(v, x):
-        # Device-side loop, iteration-dependent input. NOTE: the remote-TPU
-        # relay memoizes duplicate (executable, args) requests, so every
-        # timed call below uses a DISTINCT x; the returned checksum scales
-        # linearly with iters (verified), i.e. the loop really computes.
-        def body(i, acc):
-            e = l2_normalize(model.apply(v, x + i * 1e-6, train=False))
-            return acc + e.sum()
+    def embed(v, x):
+        return l2_normalize(model.apply(v, x, train=False).astype(jnp.float32))
 
-        return jax.lax.fori_loop(0, iters, body, 0.0)
+    # Timing methodology for the remote-TPU relay (hard-won; see README):
+    # - duplicate (executable, args) requests are served from a cache ->
+    #   distinct inputs required;
+    # - loops over *perturbed* inputs get hoisted when the perturbation
+    #   rounds away (bf16 ulp) -> >peak-FLOPs readings;
+    # - block_until_ready returns before completion; only a value readback
+    #   synchronizes, but readback costs ~30 ms of tunnel RTT per call.
+    # So: ONE jitted chain of `iters` model calls where each iteration's
+    # input data-depends on the previous output (structurally serial,
+    # unhoistable), then a single scalar readback; RTT amortizes to <3%.
+    iters = 32
 
-    embed_loop(variables, x).block_until_ready()  # compile
+    def chained(v, x0):
+        def body(i, carry):
+            xc, acc = carry
+            e = embed(v, xc.astype(x.dtype))
+            # data dependence on e: cannot be hoisted or parallelized
+            xc = xc + e.sum() * jnp.float32(1e-30)
+            return (xc, acc + e.sum())
+
+        _, acc = jax.lax.fori_loop(0, iters, body, (x0, jnp.float32(0.0)))
+        return acc
+
+    chain = jax.jit(chained)
+    x0 = x.astype(jnp.float32)
+    float(chain(variables, x0))  # compile + warm (readback syncs)
     times = []
     for trial in range(3):
-        xt = x + np.float32(trial + 1)  # distinct input per timed call
-        xt.block_until_ready()
+        xt = x0 + np.float32(trial + 1)
+        jax.block_until_ready(xt)
         t0 = time.perf_counter()
-        embed_loop(variables, xt).block_until_ready()
+        float(chain(variables, xt))
         times.append((time.perf_counter() - t0) / iters)
     dt = float(np.median(times))
     return B / dt
@@ -65,6 +84,7 @@ def bench_cpu_reference(mel: np.ndarray, max_seconds: float = 60.0) -> float:
 
     import models as ref_models
 
+    mel = mel[:B_CPU]
     torch.manual_seed(0)
     model = ref_models.TitaNet(
         n_mels=N_MELS,
@@ -87,7 +107,7 @@ def bench_cpu_reference(mel: np.ndarray, max_seconds: float = 60.0) -> float:
         for _ in range(iters):
             model(x)
         dt = (time.perf_counter() - t0) / iters
-    return B / dt
+    return B_CPU / dt
 
 
 def main():
@@ -109,7 +129,7 @@ def main():
                 "baseline_cpu_reference_utt_s": round(cpu, 2) if cpu else None,
                 "batch": B,
                 "frames": FRAMES,
-                "dtype": "float32",
+                "dtype": DTYPE,
             }
         )
     )

@@ -121,3 +121,21 @@ def test_dataset_info(ds):
     info = ds.info()
     assert info["num_speakers"] == 6 and info["num_utterances"] == 60
     assert info["total_duration"] > 0
+
+
+def test_multihost_sharding_disjoint(ds):
+    """Per-host loaders see disjoint interleaved slices covering the epoch."""
+    loaders = [
+        DataLoader(ds, batch_size=4, seed=9, prefetch=0, shuffle=True,
+                   shard_id=i, num_shards=3, chunk=ChunkConfig(enabled=False))
+        for i in range(3)
+    ]
+    seen = []
+    for l in loaders:
+        l.set_epoch(1)
+        ids = []
+        for b in l:
+            ids.extend(b.speaker_ids.tolist())
+        seen.append(len(ids))
+    # each shard gets ~1/3 of the data
+    assert all(16 <= n <= 20 for n in seen), seen

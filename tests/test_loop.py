@@ -134,3 +134,39 @@ def test_cli_config_builds(tmp_path):
     assert model.n_mega_blocks == 2
     head = build_head_from_config(cfg, n_speakers=5)
     assert head.m2 == cfg.loss.arc.margin and head.scale == cfg.loss.arc.scale
+
+
+def test_cli_eval_checkpoint(tmp_path):
+    """CLI eval subcommand: restore a checkpoint and score verification."""
+    from titanet_tpu.cli import evaluate_checkpoint
+
+    cfg = Config.from_dict(
+        {
+            "dataset": {"name": "synthetic"},
+            "dumb": {"enabled": True, "n_layers": 1, "hidden_size": 16},
+            "generic": {"embedding_size": 8},
+            "training": {
+                "epochs": 1,
+                "checkpoints_path": str(tmp_path),
+                "checkpoints_frequency": 1,
+            },
+            "validation": {"num_utterances_per_speaker": 2},
+            "test": {"num_speakers": 4, "num_utterances_per_speaker": 2},
+        }
+    )
+    # 8 speakers to match the config's synthetic corpus defaults
+    ds, model, head, opt, state = _setup(n_speakers=8)
+    loader = DataLoader(ds, batch_size=8, chunk=ChunkConfig(enabled=False), prefetch=0)
+    training_loop(
+        "evalrun", 1, state, loader, str(tmp_path),
+        model=model, head=head, optimizer=opt, frontend=FRONTEND,
+        checkpoints_frequency=1,
+    )
+    # point the eval at the run directory; rebuilds arch from cfg
+    metrics = None
+    from titanet_tpu.cli import _rebuild_state  # noqa: F401
+    import titanet_tpu.train.checkpoint as ck
+
+    assert ck.latest_epoch(str(tmp_path / "evalrun")) == 1
+    metrics = evaluate_checkpoint(cfg, str(tmp_path / "evalrun"))
+    assert 0 <= metrics["test/eer"] <= 1

@@ -221,16 +221,81 @@ def train(cfg: Config) -> None:
     wandb.finish()
 
 
+def _rebuild_state(cfg: Config, n_speakers: int):
+    dtype = jnp.bfloat16 if cfg.training.dtype == "bfloat16" else None
+    frontend = FrontendConfig.from_ms(
+        sample_rate=cfg.audio.sample_rate,
+        n_fft=cfg.audio.spectrogram.n_fft,
+        win_ms=cfg.audio.spectrogram.win_length,
+        hop_ms=cfg.audio.spectrogram.hop_length,
+        n_mels=cfg.audio.spectrogram.n_mels,
+    )
+    model = build_model(cfg, dtype=dtype)
+    head = build_head_from_config(cfg, n_speakers)
+    optimizer = make_optimizer()
+    example_mel = jnp.zeros(
+        (2, frontend.num_frames(cfg.audio.sample_rate), cfg.audio.spectrogram.n_mels)
+    )
+    state = create_train_state(
+        jax.random.key(cfg.generic.seed), model, head, optimizer, example_mel,
+        n_speakers,
+    )
+    return model, head, frontend, state
+
+
+def evaluate_checkpoint(cfg: Config, checkpoint_dir: str, epoch: Optional[int] = None):
+    """Verification EER/minDCF for a saved checkpoint (new vs the reference,
+    which could only evaluate inside a live training run)."""
+    from titanet_tpu.train import checkpoint as ckpt
+
+    _, val_ds, test_ds, n_speakers = get_datasets(
+        cfg.dataset.root,
+        name=cfg.dataset.name,
+        val=cfg.validation.enabled,
+        val_utterances_per_speaker=cfg.validation.num_utterances_per_speaker,
+        test=True,
+        test_speakers=cfg.test.num_speakers,
+        test_utterances_per_speaker=cfg.test.num_utterances_per_speaker,
+    )
+    model, head, frontend, abstract = _rebuild_state(cfg, n_speakers)
+    if epoch is None:
+        state, epoch = ckpt.restore_latest(checkpoint_dir, abstract)
+        if state is None:
+            raise FileNotFoundError(f"no checkpoint under {checkpoint_dir}")
+    else:
+        state = ckpt.restore_checkpoint(checkpoint_dir, epoch, abstract)
+    loader = DataLoader(
+        test_ds, batch_size=cfg.validation.batch_size, shuffle=False,
+        drop_last=False, chunk=ChunkConfig(enabled=False),
+        sample_rate=cfg.audio.sample_rate, seed=cfg.generic.seed,
+    )
+    metrics = run_verification(
+        state, loader, model=model, frontend=frontend,
+        mindcf_p_target=cfg.test.mindcf_p_target,
+        mindcf_c_fa=cfg.test.mindcf_c_fa, mindcf_c_miss=cfg.test.mindcf_c_miss,
+        console=ConsoleLogger(enabled=True),
+    )
+    print(metrics)
+    return metrics
+
+
 def main(argv: Optional[list] = None):
     parser = argparse.ArgumentParser(description="titanet_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
     p_train = sub.add_parser("train", help="train a model (reference-compatible YAML)")
     p_train.add_argument("-p", "--params", required=False, default=None,
                          help="path to parameters .yml")
+    p_eval = sub.add_parser("eval", help="verification EER/minDCF from a checkpoint")
+    p_eval.add_argument("-p", "--params", required=False, default=None)
+    p_eval.add_argument("-c", "--checkpoint-dir", required=True)
+    p_eval.add_argument("-e", "--epoch", type=int, default=None)
     args = parser.parse_args(argv)
     if args.cmd == "train":
         cfg = load_config(args.params)
         train(cfg)
+    elif args.cmd == "eval":
+        cfg = load_config(args.params)
+        evaluate_checkpoint(cfg, args.checkpoint_dir, args.epoch)
 
 
 if __name__ == "__main__":

@@ -99,6 +99,8 @@ class DataLoader:
         seed: int = 42,
         buckets: Optional[List[int]] = None,
         prefetch: int = 2,
+        shard_id: int = 0,
+        num_shards: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -111,6 +113,12 @@ class DataLoader:
         self.seed = seed
         self.buckets = buckets or default_buckets(sample_rate, self.chunk)
         self.prefetch = prefetch
+        # Multi-host data sharding (SURVEY.md §5 "per-host loaders"): each
+        # host sees a disjoint interleaved slice of every epoch's order.
+        # Defaults from jax.process_index()/process_count() at the call site.
+        assert 0 <= shard_id < num_shards
+        self.shard_id = shard_id
+        self.num_shards = num_shards
         self.epoch = 0
         self._rir_cache: dict = {}
 
@@ -192,6 +200,8 @@ class DataLoader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             rng.shuffle(order)
+        if self.num_shards > 1:
+            order = order[self.shard_id :: self.num_shards]
         n_full = len(order) // self.batch_size
         tail = len(order) - n_full * self.batch_size
         for b in range(n_full + (0 if self.drop_last or tail == 0 else 1)):

@@ -97,11 +97,13 @@ class DVectorBaseline(nn.Module):
 
         h = segments
         for layer in range(self.n_lstm_layers):
-            lstm = nn.RNN(
-                nn.OptimizedLSTMCell(self.hidden_size, param_dtype=self.param_dtype),
+            # the RNN wrapper is scope-transparent: the cell's params live
+            # directly under this module, keyed by the cell's name
+            cell = nn.OptimizedLSTMCell(
+                self.hidden_size, param_dtype=self.param_dtype,
                 name=f"lstm_{layer}",
             )
-            h = lstm(h)
+            h = nn.RNN(cell)(h)
         outputs = h.mean(axis=1) if self.lstm_average else h[:, -1, :]
         proj = nn.Dense(
             self.embedding_size,

@@ -103,8 +103,10 @@ class MegaBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, train: bool = False, mask: Optional[jax.Array] = None
+        self, x: jax.Array, mask: Optional[jax.Array] = None, train: bool = False
     ) -> jax.Array:
+        # NOTE: (x, mask, train) order so nn.remat can mark `train`
+        # (argnum 2) static in the Encoder's rematerialized path.
         y = x
         for i in range(self.n_sub_blocks):
             y = ConvBlock1d(
@@ -157,6 +159,7 @@ class Encoder(nn.Module):
     epilog_kernel_size: int = 1
     se_reduction: int = 16
     dropout: float = 0.5
+    remat: bool = False  # rematerialize mega-blocks (trade FLOPs for HBM)
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
@@ -174,8 +177,11 @@ class Encoder(nn.Module):
             name="prolog",
             **common,
         )(x, train=train, mask=mask)
+        # nn.remat's static_argnums count the module itself at 0, so
+        # (x, mask, train) puts `train` at argnum 3
+        mega_cls = nn.remat(MegaBlock, static_argnums=(3,)) if self.remat else MegaBlock
         for i in range(self.n_mega_blocks):
-            x = MegaBlock(
+            x = mega_cls(
                 features=self.hidden_size,
                 kernel_size=self.mega_block_kernel_size,
                 n_sub_blocks=self.n_sub_blocks,
@@ -183,7 +189,7 @@ class Encoder(nn.Module):
                 dropout=self.dropout,
                 name=f"mega_block_{i}",
                 **common,
-            )(x, train=train, mask=mask)
+            )(x, mask, train)
         x = ConvBlock1d(
             features=self.output_size,
             kernel_size=self.epilog_kernel_size,
@@ -265,6 +271,7 @@ class TitaNet(nn.Module):
     se_reduction: int = 16
     simple_pool: bool = False
     dropout: float = 0.5
+    remat: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
@@ -283,6 +290,7 @@ class TitaNet(nn.Module):
             epilog_kernel_size=self.epilog_kernel_size,
             se_reduction=self.se_reduction,
             dropout=self.dropout,
+            remat=self.remat,
             axis_name=self.axis_name,
             dtype=self.dtype,
             param_dtype=self.param_dtype,

@@ -136,6 +136,36 @@ def convert_titanet_state_dict(sd: Dict) -> Tuple[Dict, Dict]:
     return params, stats
 
 
+def convert_dvector_state_dict(sd: Dict) -> Dict:
+    """Reference ``DVectorBaseline.state_dict()`` (src/models.py:70-159)
+    -> our :class:`titanet_tpu.models.DVectorBaseline` params.
+
+    torch LSTM packs gates (i, f, g, o) into ``weight_ih_l{k} [4H, in]`` /
+    ``weight_hh_l{k} [4H, H]`` with two bias vectors that are summed at
+    runtime; flax's LSTMCell keeps per-gate kernels (input kernels bias-free,
+    hidden kernels carrying the combined bias).
+    """
+    params: Dict = {}
+    layer = 0
+    while f"recurrent.weight_ih_l{layer}" in sd:
+        w_ih = _np(sd[f"recurrent.weight_ih_l{layer}"])  # [4H, in]
+        w_hh = _np(sd[f"recurrent.weight_hh_l{layer}"])  # [4H, H]
+        b = _np(sd[f"recurrent.bias_ih_l{layer}"]) + _np(
+            sd[f"recurrent.bias_hh_l{layer}"]
+        )
+        h = w_hh.shape[1]
+        gates = {"i": 0, "f": 1, "g": 2, "o": 3}
+        cell: Dict = {}
+        for name, gi in gates.items():
+            sl = slice(gi * h, (gi + 1) * h)
+            cell[f"i{name}"] = {"kernel": w_ih[sl].T}
+            cell[f"h{name}"] = {"kernel": w_hh[sl].T, "bias": b[sl]}
+        params[f"lstm_{layer}"] = cell
+        layer += 1
+    params["projection"] = _linear(sd, "projection")
+    return params
+
+
 def load_reference_checkpoint(path: str) -> Tuple[Dict, Dict]:
     """Load a reference ``.pth`` checkpoint file (requires torch)."""
     import torch
