@@ -77,6 +77,8 @@ def build_head_from_config(cfg: Config, n_speakers: int):
 
 
 def train(cfg: Config) -> None:
+    if cfg.generic.fast_prng:
+        jax.config.update("jax_default_prng_impl", "rbg")
     key = set_seed(cfg.generic.seed)
     del key
     dtype = jnp.bfloat16 if cfg.training.dtype == "bfloat16" else None
@@ -87,6 +89,7 @@ def train(cfg: Config) -> None:
         win_ms=cfg.audio.spectrogram.win_length,
         hop_ms=cfg.audio.spectrogram.hop_length,
         n_mels=cfg.audio.spectrogram.n_mels,
+        precision=cfg.audio.frontend_precision,
     )
 
     train_ds, val_ds, test_ds, n_speakers = get_datasets(

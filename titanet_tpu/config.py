@@ -190,6 +190,11 @@ class GenericConfig:
     log_console: bool = False
     chart_dependencies: bool = False
     embedding_size: int = 192
+    # TPU addition: use the hardware RBG PRNG for jax randomness (dropout).
+    # threefry key generation is 63% of the TitaNet-S train step on TPU
+    # (measured: 79 -> 36 ms/step at B=128 bf16). Still deterministic per
+    # seed; set false for threefry (jax default).
+    fast_prng: bool = True
 
 
 @_register
@@ -206,6 +211,9 @@ class SpectrogramConfig:
 class AudioConfig:
     sample_rate: int = 16000
     spectrogram: "SpectrogramConfig" = field(default_factory=SpectrogramConfig)
+    # 'highest' (torchaudio-parity DFT/mel matmuls) or 'default' (MXU bf16
+    # passes; ~4x faster frontend, fine as training noise)
+    frontend_precision: str = "highest"
 
 
 @_register

@@ -204,6 +204,10 @@ class FrontendConfig(NamedTuple):
     hop_length: int = 160  # samples (10 ms @ 16 kHz)
     n_mels: int = 80
     use_matmul_dft: bool = True
+    # 'highest' = f32 multi-pass matmuls (torchaudio parity, default);
+    # 'default' = MXU bf16 passes (~4x faster frontend, ~5e-2 mel error —
+    # fine as training-time noise, not for parity-graded inference)
+    precision: str = "highest"
 
     @classmethod
     def from_ms(cls, sample_rate=16000, n_fft=512, win_ms=25, hop_ms=10, n_mels=80, **kw):
@@ -233,11 +237,17 @@ def spectrogram(
     window = jnp.asarray(padded_window(cfg.n_fft, cfg.win_length))
     frames = frames * window
     if cfg.use_matmul_dft and power is not None:
-        # HIGHEST precision: TPU's default bf16 matmul loses ~5e-2 after the
-        # dB + L2-norm chain; the DFT is parity-critical (SURVEY.md §7).
+        # HIGHEST precision by default: TPU's bf16 matmul passes lose ~5e-2
+        # after the dB + L2-norm chain; the DFT is parity-critical
+        # (SURVEY.md §7). cfg.precision='default' trades that for speed.
+        prec = (
+            jax.lax.Precision.HIGHEST
+            if cfg.precision == "highest"
+            else jax.lax.Precision.DEFAULT
+        )
         cos_m, sin_m = _dft_matrices(cfg.n_fft)
-        re = jnp.dot(frames, jnp.asarray(cos_m), precision=jax.lax.Precision.HIGHEST)
-        im = jnp.dot(frames, jnp.asarray(sin_m), precision=jax.lax.Precision.HIGHEST)
+        re = jnp.dot(frames, jnp.asarray(cos_m), precision=prec)
+        im = jnp.dot(frames, jnp.asarray(sin_m), precision=prec)
         p = re * re + im * im
         if power == 2.0:
             return p
@@ -279,9 +289,12 @@ def log_mel_spectrogram(
             mel_filterbank(cfg.n_fft // 2 + 1, cfg.n_mels, cfg.sample_rate)
         )
     p = spectrogram(waveform, cfg, power=2.0, lengths=lengths)  # [B, F, bins]
-    mel = jnp.dot(
-        p, mel_fb.astype(p.dtype), precision=jax.lax.Precision.HIGHEST
-    )  # [B, F, n_mels]
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if cfg.precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
+    mel = jnp.dot(p, mel_fb.astype(p.dtype), precision=prec)  # [B, F, n_mels]
     mel_db = amplitude_to_db(mel)
     out = l2_normalize_mels(mel_db)
     mask = None
