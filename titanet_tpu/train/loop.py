@@ -89,7 +89,8 @@ def train_one_epoch(
             raise NonFiniteLossError(f"Loss is {loss} at epoch {epoch} step {step}")
         losses.append(loss)
         all_targets.extend(batch.speaker_ids.tolist())
-        all_preds.extend(np.asarray(metrics["preds"]).tolist())
+        if metrics["preds"] is not None:
+            all_preds.extend(np.asarray(metrics["preds"]).tolist())
         if collect_embeddings:
             all_emb.append(np.asarray(metrics["embeddings"]))
         step += 1
@@ -137,7 +138,8 @@ def evaluate(
         losses.append(float(out["loss"]))
         timer.start("data")
         all_targets.extend(batch.speaker_ids.tolist())
-        all_preds.extend(np.asarray(out["preds"]).tolist())
+        if out["preds"] is not None:
+            all_preds.extend(np.asarray(out["preds"]).tolist())
         if collect_embeddings:
             all_emb.append(np.asarray(out["embeddings"]))
     timer.stop()

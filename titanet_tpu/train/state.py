@@ -127,7 +127,9 @@ def train_step(
     metrics = {
         "loss": loss,
         "grad_norm": optax.global_norm(grads),
-        "preds": preds if preds is not None else jnp.zeros_like(speakers),
+        # None for heads without a classifier (GE2E) — the loop then skips
+        # classification metrics, like the reference (src/learn.py:139-142)
+        "preds": preds,
         "embeddings": emb,
     }
     new_state = state.replace(
@@ -168,7 +170,7 @@ def eval_step(
     )
     return {
         "loss": loss,
-        "preds": preds if preds is not None else jnp.zeros_like(speakers),
+        "preds": preds,
         "embeddings": norm_emb,
     }
 
