@@ -185,7 +185,18 @@ def train(cfg: Config) -> None:
             cfg.augmentation.probability,
         )
 
-    run_name = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    run_name = cfg.training.run_name
+    if run_name is None and cfg.training.resume:
+        # resume the most recent run under checkpoints_path
+        base = cfg.training.checkpoints_path
+        if os.path.isdir(base):
+            runs = sorted(
+                d for d in os.listdir(base)
+                if os.path.isdir(os.path.join(base, d))
+            )
+            run_name = runs[-1] if runs else None
+    if run_name is None:
+        run_name = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
     console = ConsoleLogger(enabled=cfg.generic.log_console)
     jsonl = JsonlLogger(os.path.join(cfg.training.checkpoints_path, run_name, "metrics.jsonl"))
     wandb = WandbLogger(

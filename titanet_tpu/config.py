@@ -78,6 +78,9 @@ class TrainingConfig:
     # TPU additions
     resume: bool = False  # resume from latest checkpoint if present
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
+    # run directory name under checkpoints_path; default = timestamp.
+    # With resume=true and no run_name, the latest existing run is resumed.
+    run_name: Optional[str] = None
 
 
 @_register
