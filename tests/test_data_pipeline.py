@@ -139,3 +139,17 @@ def test_multihost_sharding_disjoint(ds):
         seen.append(len(ids))
     # each shard gets ~1/3 of the data
     assert all(16 <= n <= 20 for n in seen), seen
+
+
+def test_parallel_workers_equivalence(ds):
+    """num_workers decoding must produce identical batches (per-example RNG
+    is keyed by epoch position, not decode order)."""
+    l0 = DataLoader(ds, batch_size=8, seed=3, prefetch=0, num_workers=0,
+                    chunk=ChunkConfig(max_length=1.0, lengths=(1.0,), enabled=True))
+    l4 = DataLoader(ds, batch_size=8, seed=3, prefetch=0, num_workers=4,
+                    chunk=ChunkConfig(max_length=1.0, lengths=(1.0,), enabled=True))
+    l0.set_epoch(2)
+    l4.set_epoch(2)
+    for a, b in zip(l0, l4):
+        np.testing.assert_array_equal(a.waveform, b.waveform)
+        np.testing.assert_array_equal(a.lengths, b.lengths)

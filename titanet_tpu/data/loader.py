@@ -99,6 +99,7 @@ class DataLoader:
         seed: int = 42,
         buckets: Optional[List[int]] = None,
         prefetch: int = 2,
+        num_workers: int = 0,
         shard_id: int = 0,
         num_shards: int = 1,
     ):
@@ -113,6 +114,10 @@ class DataLoader:
         self.seed = seed
         self.buckets = buckets or default_buckets(sample_rate, self.chunk)
         self.prefetch = prefetch
+        # Decode-worker threads (reference used DataLoader worker processes,
+        # src/datasets.py:38). Our FLAC decoder is a C call (GIL released),
+        # so threads give real parallelism on multi-core hosts.
+        self.num_workers = num_workers
         # Multi-host data sharding (SURVEY.md §5 "per-host loaders"): each
         # host sees a disjoint interleaved slice of every epoch's order.
         # Defaults from jax.process_index()/process_count() at the call site.
@@ -204,14 +209,33 @@ class DataLoader:
             order = order[self.shard_id :: self.num_shards]
         n_full = len(order) // self.batch_size
         tail = len(order) - n_full * self.batch_size
-        for b in range(n_full + (0 if self.drop_last or tail == 0 else 1)):
-            idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
-            waves, speakers = [], []
-            for i in idxs:
-                w, s = self._load_one(int(i), rng)
-                waves.append(w)
-                speakers.append(s)
-            yield self._make_batch(waves, speakers)
+
+        def load(args):
+            pos, idx = args
+            # per-example RNG keyed by epoch position: deterministic AND
+            # independent of decode order (enables parallel workers)
+            ex_rng = np.random.default_rng((self.seed, self.epoch, int(pos)))
+            return self._load_one(int(idx), ex_rng)
+
+        pool = None
+        if self.num_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        try:
+            for b in range(n_full + (0 if self.drop_last or tail == 0 else 1)):
+                idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+                jobs = [(b * self.batch_size + j, i) for j, i in enumerate(idxs)]
+                if pool is not None:
+                    results = list(pool.map(load, jobs))
+                else:
+                    results = [load(j) for j in jobs]
+                waves = [r[0] for r in results]
+                speakers = [r[1] for r in results]
+                yield self._make_batch(waves, speakers)
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
     def __iter__(self) -> Iterator[Batch]:
         if self.prefetch <= 0:

@@ -257,6 +257,7 @@ def training_loop(
 
         if checkpoints_frequency and epoch % checkpoints_frequency == 0:
             ckpt.save_checkpoint(run_ckpt_path, epoch, state)
+            wandb.save(os.path.join(run_ckpt_path, str(epoch)))
 
         if val_loader is not None and val_every is not None and (
             epoch % val_every == 0 or epoch == 1 or epoch == epochs
