@@ -84,8 +84,12 @@ class BatchNorm(nn.Module):
                 var = jnp.var(xf, axis=reduce_axes)
             if self.axis_name is not None:
                 # SyncBN: average moments across the data-parallel axis.
-                mean = jax.lax.pmean(mean, self.axis_name)
-                mean_sq = jax.lax.pmean(var + mean**2, self.axis_name)
+                # E[x^2] must be reconstructed from the LOCAL moments.
+                local_mean, local_var = mean, var
+                mean = jax.lax.pmean(local_mean, self.axis_name)
+                mean_sq = jax.lax.pmean(
+                    local_var + local_mean**2, self.axis_name
+                )
                 var = mean_sq - mean**2
                 count = count * jax.lax.psum(1, self.axis_name)
             if not self.is_initializing():
