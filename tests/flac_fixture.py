@@ -62,7 +62,7 @@ def _rice_residual(bw: BitWriter, residuals: np.ndarray, param: int):
 
 
 def _subframe(bw: BitWriter, samples: np.ndarray, bps: int, mode: str,
-              rice_param: int = 4):
+              rice_param: int = 4, wasted: int = 0):
     bw.write(0, 1)  # padding
     if mode == "constant":
         bw.write(0, 6)
@@ -70,6 +70,15 @@ def _subframe(bw: BitWriter, samples: np.ndarray, bps: int, mode: str,
         bw.write_signed(int(samples[0]), bps)
     elif mode == "verbatim":
         bw.write(1, 6)
+        if wasted:
+            # samples must have the low `wasted` bits zero
+            bw.write(1, 1)
+            for _ in range(wasted - 1):
+                bw.write(0, 1)
+            bw.write(1, 1)
+            for s in samples:
+                bw.write_signed(int(s) >> wasted, bps - wasted)
+            return
         bw.write(0, 1)
         for s in samples:
             bw.write_signed(int(s), bps)
@@ -116,6 +125,7 @@ def encode_flac(
     block_size: int = 4096,
     mode: str = "verbatim",
     stereo_mode: str = "independent",  # or "left_side"
+    wasted: int = 0,  # verbatim-only: wasted-bits-per-sample
 ) -> bytes:
     x = np.asarray(channels_data, np.int64)
     assert x.ndim == 2
@@ -162,7 +172,7 @@ def encode_flac(
             _subframe(bw, side, bps + 1, mode)
         else:
             for c in range(n_ch):
-                _subframe(bw, blk[c], bps, mode)
+                _subframe(bw, blk[c], bps, mode, wasted=wasted)
         bw.align()
         bw.write(0, 16)  # CRC-16 (decoder does not verify)
         out += bw.getvalue()

@@ -105,3 +105,25 @@ def test_flac_corrupt_input_fails_cleanly(tmp_path, native_lib):
         f.write(b"fLaC" + b"\x00" * 100)
     with pytest.raises(ValueError):
         native_lib.read_flac(path)
+
+
+@needs_compiler
+def test_flac_wasted_bits(tmp_path, native_lib):
+    pcm = (_pcm(seed=11) >> 2) << 2  # low 2 bits zero
+    blob = encode_flac(pcm, mode="verbatim", wasted=2)
+    path = str(tmp_path / "w.flac")
+    open(path, "wb").write(blob)
+    wav, sr = native_lib.read_flac(path)
+    np.testing.assert_allclose(wav, pcm.astype(np.float32) / 32768.0, atol=1e-7)
+
+
+@needs_compiler
+def test_flac_many_frames_utf8_numbers(tmp_path, native_lib):
+    """>128 frames exercises 2-byte UTF-8 frame numbers in frame headers."""
+    pcm = _pcm(seed=12, n=150 * 256)
+    blob = encode_flac(pcm, mode="fixed1", block_size=256)
+    path = str(tmp_path / "many.flac")
+    open(path, "wb").write(blob)
+    wav, sr = native_lib.read_flac(path)
+    assert wav.shape == (1, 150 * 256)
+    np.testing.assert_allclose(wav, pcm.astype(np.float32) / 32768.0, atol=1e-7)
