@@ -153,3 +153,22 @@ def test_parallel_workers_equivalence(ds):
     for a, b in zip(l0, l4):
         np.testing.assert_array_equal(a.waveform, b.waveform)
         np.testing.assert_array_equal(a.lengths, b.lengths)
+
+
+def test_balanced_sampler_composition(ds):
+    loader = DataLoader(ds, batch_size=8, seed=5, prefetch=0,
+                        balanced=(4, 2), chunk=ChunkConfig(enabled=False))
+    loader.set_epoch(0)
+    for batch in loader:
+        ids, counts = np.unique(batch.speaker_ids, return_counts=True)
+        assert len(ids) == 4 and (counts == 2).all(), (ids, counts)
+
+
+def test_balanced_sampler_on_subset(ds):
+    sub = Subset(ds, list(range(0, 40)))  # speakers 0-3
+    loader = DataLoader(sub, batch_size=6, seed=5, prefetch=0,
+                        balanced=(3, 2), chunk=ChunkConfig(enabled=False))
+    for batch in loader:
+        ids, counts = np.unique(batch.speaker_ids, return_counts=True)
+        assert len(ids) == 3 and (counts == 2).all()
+        assert set(ids.tolist()) <= {0, 1, 2, 3}

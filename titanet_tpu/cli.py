@@ -127,10 +127,14 @@ def train(cfg: Config) -> None:
         probability=cfg.augmentation.probability,
         enabled="reverb" in enabled_augs and bool(rir_paths),
     )
+    balanced = None
+    if cfg.training.balanced_speakers and cfg.training.balanced_utterances:
+        balanced = (cfg.training.balanced_speakers, cfg.training.balanced_utterances)
     train_loader = DataLoader(
         train_ds, batch_size=cfg.training.batch_size, shuffle=True,
-        chunk=chunk, speed=speed, reverb=reverb,
+        chunk=chunk, speed=speed, reverb=reverb, balanced=balanced,
         sample_rate=cfg.audio.sample_rate, seed=cfg.generic.seed,
+        num_workers=max(cfg.generic.workers, 0),
     )
     val_loader = DataLoader(
         val_ds, batch_size=cfg.validation.batch_size, shuffle=False,
@@ -246,7 +250,18 @@ def _rebuild_state(cfg: Config, n_speakers: int):
     )
     model = build_model(cfg, dtype=dtype)
     head = build_head_from_config(cfg, n_speakers)
-    optimizer = make_optimizer()
+    # the optimizer must match training's so the restored opt_state pytree
+    # lines up (orbax restores by structure)
+    optimizer = make_optimizer(
+        name=cfg.training.optimizer.type,
+        start_lr=cfg.training.optimizer.start_lr,
+        weight_decay=cfg.training.optimizer.weight_decay,
+        scheduler=cfg.training.optimizer.scheduler,
+        end_lr=cfg.training.optimizer.end_lr,
+        total_epochs=cfg.training.epochs,
+        warmup_epochs=cfg.training.optimizer.warmup_epochs,
+        grad_clip_norm=cfg.training.optimizer.grad_clip_norm,
+    )
     example_mel = jnp.zeros(
         (2, frontend.num_frames(cfg.audio.sample_rate), cfg.audio.spectrogram.n_mels)
     )

@@ -81,6 +81,10 @@ class TrainingConfig:
     # run directory name under checkpoints_path; default = timestamp.
     # With resume=true and no run_name, the latest existing run is resumed.
     run_name: Optional[str] = None
+    # speaker-balanced batches (n_speakers, m_utterances with
+    # n*m == batch_size); recommended for the ge2e loss. None = off.
+    balanced_speakers: Optional[int] = None
+    balanced_utterances: Optional[int] = None
 
 
 @_register

@@ -102,6 +102,7 @@ class DataLoader:
         num_workers: int = 0,
         shard_id: int = 0,
         num_shards: int = 1,
+        balanced: Optional[tuple] = None,  # (n_speakers, m_utterances) per batch
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -124,6 +125,14 @@ class DataLoader:
         assert 0 <= shard_id < num_shards
         self.shard_id = shard_id
         self.num_shards = num_shards
+        # Speaker-balanced batching for contrastive losses (GE2E expects
+        # N speakers x M utterances per batch — Wan et al., arXiv:1710.10467;
+        # the reference had no sampler and fed GE2E random batches).
+        self.balanced = balanced
+        if balanced is not None:
+            assert batch_size == balanced[0] * balanced[1], (
+                "batch_size must equal n_speakers * m_utterances"
+            )
         self.epoch = 0
         self._rir_cache: dict = {}
 
@@ -200,11 +209,46 @@ class DataLoader:
             lengths[i] = len(w)
         return Batch(batch, lengths, np.asarray(speakers, np.int32))
 
+    def _speaker_map(self) -> dict:
+        """{speaker_id: [dataset-local indices]} without decoding audio."""
+        ds = self.dataset
+        if hasattr(ds, "indices") and hasattr(ds, "parent"):
+            parent, local_of = ds.parent, {r: i for i, r in enumerate(ds.indices)}
+        else:
+            parent, local_of = ds, None
+        by_speaker: dict = {}
+        for spk, utts in parent.speakers_utterances.items():
+            sid = parent.speakers_to_id[spk]
+            for real in utts:
+                local = real if local_of is None else local_of.get(real)
+                if local is not None:
+                    by_speaker.setdefault(sid, []).append(local)
+        return by_speaker
+
+    def _balanced_order(self, rng: np.random.Generator) -> np.ndarray:
+        """N-speakers x M-utterances batch composition."""
+        n_spk, m_utt = self.balanced
+        by_speaker = self._speaker_map()
+        speakers = sorted(by_speaker)
+        n_batches = len(self.dataset) // self.batch_size
+        order = []
+        for _ in range(n_batches):
+            chosen = rng.choice(speakers, size=min(n_spk, len(speakers)),
+                                replace=len(speakers) < n_spk)
+            for s in chosen:
+                utts = by_speaker[int(s)]
+                order.extend(rng.choice(utts, size=m_utt,
+                                        replace=len(utts) < m_utt).tolist())
+        return np.asarray(order, np.int64)
+
     def _iter_batches(self) -> Iterator[Batch]:
         rng = np.random.default_rng((self.seed, self.epoch))
-        order = np.arange(len(self.dataset))
-        if self.shuffle:
-            rng.shuffle(order)
+        if self.balanced is not None:
+            order = self._balanced_order(rng)
+        else:
+            order = np.arange(len(self.dataset))
+            if self.shuffle:
+                rng.shuffle(order)
         if self.num_shards > 1:
             order = order[self.shard_id :: self.num_shards]
         n_full = len(order) // self.batch_size
