@@ -127,3 +127,26 @@ def test_flac_many_frames_utf8_numbers(tmp_path, native_lib):
     wav, sr = native_lib.read_flac(path)
     assert wav.shape == (1, 150 * 256)
     np.testing.assert_allclose(wav, pcm.astype(np.float32) / 32768.0, atol=1e-7)
+
+
+@needs_compiler
+def test_flac_fuzz_mutations_do_not_crash(tmp_path, native_lib):
+    """Randomly corrupted streams must fail cleanly (or decode), never
+    crash the process. The decoder guards all reads and loop bounds."""
+    rng = np.random.default_rng(99)
+    pcm = _pcm(seed=13, n=4000)
+    blob = bytearray(encode_flac(pcm, mode="fixed2", block_size=512))
+    ok, failed = 0, 0
+    for trial in range(60):
+        mutated = bytearray(blob)
+        for _ in range(rng.integers(1, 8)):
+            pos = rng.integers(4, len(mutated))  # keep the magic intact
+            mutated[pos] = rng.integers(0, 256)
+        path = str(tmp_path / f"fuzz{trial}.flac")
+        open(path, "wb").write(bytes(mutated))
+        try:
+            native_lib.read_flac(path)  # values may be garbage; no crash
+            ok += 1
+        except ValueError:
+            failed += 1
+    assert ok + failed == 60  # process survived every mutation

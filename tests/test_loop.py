@@ -144,7 +144,9 @@ def test_cli_eval_checkpoint(tmp_path):
         {
             "dataset": {"name": "synthetic"},
             "dumb": {"enabled": True, "n_layers": 1, "hidden_size": 16},
-            "generic": {"embedding_size": 8},
+            # training above used the default (threefry) PRNG; the eval's
+            # abstract key shape must match the stored checkpoint's
+            "generic": {"embedding_size": 8, "fast_prng": False},
             "training": {
                 "epochs": 1,
                 "checkpoints_path": str(tmp_path),

@@ -240,6 +240,10 @@ def train(cfg: Config) -> None:
 
 
 def _rebuild_state(cfg: Config, n_speakers: int):
+    if cfg.generic.fast_prng:
+        # key dtype must match training's (rbg keys are uint32[4],
+        # threefry uint32[2]) or the checkpoint restore shape-mismatches
+        jax.config.update("jax_default_prng_impl", "rbg")
     dtype = jnp.bfloat16 if cfg.training.dtype == "bfloat16" else None
     frontend = FrontendConfig.from_ms(
         sample_rate=cfg.audio.sample_rate,
