@@ -124,3 +124,21 @@ def test_head_param_counts():
     assert head_param_count("ce", 192, 251) == 192 * 251 + 251
     assert head_param_count("arc", 192, 251) == 192 * 251
     assert head_param_count("ge2e", 192, 251) == 2
+
+
+def test_sphereface_input_norm_scaling(ref_losses):
+    """scale=None uses per-input norms as scales (reference
+    src/losses.py:95-99) — the reference YAML's sphere default."""
+    e, k = 16, 5
+    emb = _emb(b=8, e=e, seed=6)
+    targets = np.random.default_rng(7).integers(0, k, len(emb))
+    torch.manual_seed(0)
+    ref = ref_losses.SphereFaceLoss(e, k, scale=None, margin=4)
+    with torch.no_grad():
+        _, r_preds, r_loss = ref(torch.from_numpy(emb), torch.from_numpy(targets))
+        w_after = ref.fc.weight.detach().numpy()
+    head = build_head("sphere", e, k, scale=None, margin=4.0, stable=False)
+    params = {"params": {"weight": jnp.asarray(w_after.T)}}
+    _, o_preds, o_loss = head.apply(params, jnp.asarray(emb), jnp.asarray(targets))
+    np.testing.assert_allclose(float(o_loss), float(r_loss), rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(o_preds), r_preds.numpy())

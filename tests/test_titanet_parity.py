@@ -132,3 +132,31 @@ def test_closed_form_param_count_matches_traced():
     model = TitaNet(n_mega_blocks=2, simple_pool=True)
     formula = titanet_param_count(n_mega_blocks=2, simple_pool=True)
     assert formula == count_params(model)
+
+
+def test_titanet_simple_pool_matches_reference(ref_models):
+    torch.manual_seed(3)
+    tmodel = ref_models.TitaNet(
+        n_mels=80, n_mega_blocks=1, n_sub_blocks=3, encoder_hidden_size=32,
+        encoder_output_size=48, embedding_size=16, mega_block_kernel_size=3,
+        simple_pool=True, dropout=0.0,
+    )
+    tmodel.eval()
+    jmodel = TitaNet(
+        n_mega_blocks=1, n_sub_blocks=3, encoder_hidden_size=32,
+        encoder_output_size=48, embedding_size=16, mega_block_kernel_size=3,
+        simple_pool=True, dropout=0.0,
+    )
+    params, stats = convert_titanet_state_dict(tmodel.state_dict())
+    variables = {
+        "params": jax.tree.map(jnp.asarray, params),
+        "batch_stats": jax.tree.map(jnp.asarray, stats),
+    }
+    x = np.random.default_rng(5).standard_normal((2, 80, 40)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+    ours = np.asarray(
+        l2_normalize(jmodel.apply(variables, jnp.asarray(x.transpose(0, 2, 1)),
+                                  train=False))
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
