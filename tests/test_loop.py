@@ -172,3 +172,30 @@ def test_cli_eval_checkpoint(tmp_path):
     assert ck.latest_epoch(str(tmp_path / "evalrun")) == 1
     metrics = evaluate_checkpoint(cfg, str(tmp_path / "evalrun"))
     assert 0 <= metrics["test/eer"] <= 1
+
+
+def test_reference_parameters_yml_drives_build():
+    """The reference repo's own parameters.yml loads and builds our model,
+    head, and frontend unchanged (migration path)."""
+    import os
+
+    from titanet_tpu.cli import build_head_from_config, build_model
+    from titanet_tpu.ops.frontend import FrontendConfig
+
+    path = "/root/reference/parameters.yml"
+    if not os.path.exists(path):
+        pytest.skip("reference repo not available")
+    cfg = Config.from_yaml(path)
+    model = build_model(cfg)
+    assert model.n_mega_blocks == 17 and model.encoder_hidden_size == 256
+    head = build_head_from_config(cfg, n_speakers=251)
+    assert head.n_classes == 251
+    frontend = FrontendConfig.from_ms(
+        sample_rate=cfg.audio.sample_rate,
+        n_fft=cfg.audio.spectrogram.n_fft,
+        win_ms=cfg.audio.spectrogram.win_length,
+        hop_ms=cfg.audio.spectrogram.hop_length,
+        n_mels=cfg.audio.spectrogram.n_mels,
+    )
+    assert frontend.win_length == 400 and frontend.hop_length == 160
+    assert "chunk" in cfg.augmentation.enable

@@ -235,6 +235,10 @@ def training_loop(
             state = restored
             print(f"[resumed from epoch {start_epoch}]")
 
+    # Failure story: on NonFiniteLossError the run aborts; recovery is
+    # resume=true from the last periodic checkpoint. (A "crash checkpoint"
+    # is not possible here: the pre-step state was donated to the device and
+    # the post-step state already carries the non-finite update.)
     for epoch in range(start_epoch + 1, epochs + 1):
         state, metrics, (train_emb, train_targets) = train_one_epoch(
             epoch, epochs, state, train_loader,
