@@ -199,3 +199,30 @@ def test_reference_parameters_yml_drives_build():
     )
     assert frontend.win_length == 400 and frontend.hop_length == 160
     assert "chunk" in cfg.augmentation.enable
+
+
+def test_best_checkpoint_and_early_stopping(tmp_path):
+    """Best checkpoint lands at step 0; early stopping fires when the
+    tracked validation metric stops improving."""
+    ds, model, head, opt, state = _setup()
+    loader = DataLoader(ds, batch_size=8, chunk=ChunkConfig(enabled=False), prefetch=0)
+    val_loader = DataLoader(
+        Subset(ds, list(range(8))), batch_size=8, shuffle=False,
+        chunk=ChunkConfig(enabled=False), prefetch=0,
+    )
+    # lr=0 so the metric NEVER improves after the first validation
+    opt0 = make_optimizer(start_lr=0.0)
+    state0 = create_train_state(
+        jax.random.key(0), model, head, opt0, jnp.zeros((2, 101, 80)), 4
+    )
+    training_loop(
+        "es", 10, state0, loader, str(tmp_path),
+        model=model, head=head, optimizer=opt0, frontend=FRONTEND,
+        val_loader=val_loader, val_every=1,
+        checkpoints_frequency=None, early_stop_patience=2,
+    )
+    steps = sorted(
+        int(d) for d in os.listdir(tmp_path / "es") if d.isdigit()
+    )
+    assert 0 in steps  # best checkpoint saved
+    assert max(steps) < 10  # stopped early (epoch 3: val1 best, val2+3 flat)

@@ -228,6 +228,8 @@ def train(cfg: Config) -> None:
         reduction_method=cfg.figures.reduction_method,
         checkpoints_frequency=cfg.training.checkpoints_frequency,
         resume=cfg.training.resume,
+        track_best=cfg.training.track_best,
+        early_stop_patience=cfg.training.early_stop_patience,
         console=console,
         jsonl=jsonl,
         wandb=wandb,

@@ -85,6 +85,9 @@ class TrainingConfig:
     # n*m == batch_size); recommended for the ge2e loss. None = off.
     balanced_speakers: Optional[int] = None
     balanced_utterances: Optional[int] = None
+    # best-checkpoint tracking (saved at step 0) + optional early stopping
+    track_best: str = "val/avg_loss"
+    early_stop_patience: Optional[int] = None  # validations without improvement
 
 
 @_register

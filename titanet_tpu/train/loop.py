@@ -210,6 +210,8 @@ def training_loop(
     reduction_method: str = "svd",
     checkpoints_frequency: Optional[int] = 25,
     resume: bool = False,
+    track_best: str = "val/avg_loss",  # save ckpt "0" whenever this improves
+    early_stop_patience: Optional[int] = None,  # in validations, on track_best
     console: Optional[ConsoleLogger] = None,
     jsonl: Optional[JsonlLogger] = None,
     wandb: Optional[WandbLogger] = None,
@@ -239,6 +241,9 @@ def training_loop(
     # resume=true from the last periodic checkpoint. (A "crash checkpoint"
     # is not possible here: the pre-step state was donated to the device and
     # the post-step state already carries the non-finite update.)
+    best_value = float("inf")
+    vals_since_best = 0
+    epoch = start_epoch
     for epoch in range(start_epoch + 1, epochs + 1):
         state, metrics, (train_emb, train_targets) = train_one_epoch(
             epoch, epochs, state, train_loader,
@@ -282,7 +287,29 @@ def training_loop(
             jsonl.log(val_metrics, step=epoch)
             wandb.log(val_metrics, step=epoch)
 
-    ckpt.save_checkpoint(run_ckpt_path, epochs, state)
+            # best-checkpoint tracking + early stopping (new vs reference,
+            # SURVEY.md §2.4: "no early stopping"). Best lives at step 0
+            # (epochs are 1-based, so it never masks restore_latest).
+            value = val_metrics.get(track_best)
+            if value is not None:
+                if value < best_value:
+                    best_value = value
+                    vals_since_best = 0
+                    ckpt.save_checkpoint(run_ckpt_path, 0, state)
+                else:
+                    vals_since_best += 1
+                if (
+                    early_stop_patience is not None
+                    and vals_since_best >= early_stop_patience
+                ):
+                    print(
+                        f"[early stop at epoch {epoch}: {track_best} has not "
+                        f"improved in {vals_since_best} validations]"
+                    )
+                    break
+
+    if epoch > start_epoch:  # at least one epoch ran
+        ckpt.save_checkpoint(run_ckpt_path, epoch, state)
 
     if test_loader is not None:
         test_metrics = run_verification(
