@@ -92,6 +92,12 @@ def train(cfg: Config) -> None:
         precision=cfg.audio.frontend_precision,
     )
 
+    ds_kwargs = {}
+    if cfg.dataset.name == "synthetic":
+        ds_kwargs = dict(
+            n_speakers=cfg.dataset.synthetic_speakers,
+            utterances_per_speaker=cfg.dataset.synthetic_utterances,
+        )
     train_ds, val_ds, test_ds, n_speakers = get_datasets(
         cfg.dataset.root,
         name=cfg.dataset.name,
@@ -100,6 +106,7 @@ def train(cfg: Config) -> None:
         test=cfg.test.enabled,
         test_speakers=cfg.test.num_speakers,
         test_utterances_per_speaker=cfg.test.num_utterances_per_speaker,
+        **ds_kwargs,
     )
     if cfg.dumb.enabled:  # reference smoke-test mode (src/train.py:59-60)
         train_ds = test_ds

@@ -95,6 +95,9 @@ class TrainingConfig:
 class DatasetConfig:
     root: str = "./data"
     name: str = "librispeech"  # librispeech | vctk | voxceleb1 | voxceleb2 | synthetic
+    # synthetic-corpus size (ignored for on-disk corpora)
+    synthetic_speakers: int = 8
+    synthetic_utterances: int = 12
 
 
 @_register
