@@ -87,7 +87,9 @@ def main():
     emb = np.concatenate(embeddings)
     dt = time.perf_counter() - t0
     print(f"extracted {len(emb)} embeddings in {dt:.2f}s "
-          f"({len(emb) / dt:.1f} utt/s incl. host decode)")
+          f"({len(emb) / dt:.1f} utt/s COLD — includes per-bucket jit "
+          "compiles and host decode; steady-state device throughput is "
+          "~4 orders of magnitude higher, see BENCHMARKS.md)")
 
     np.save(os.path.join(args.outdir, "embeddings.npy"), emb)
     np.save(os.path.join(args.outdir, "speakers.npy"), np.asarray(speakers))

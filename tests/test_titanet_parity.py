@@ -160,3 +160,23 @@ def test_titanet_simple_pool_matches_reference(ref_models):
                                   train=False))
     )
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_padded_batch_matches_reference_padding_semantics(ref_models):
+    """SURVEY.md §7 hard part 2: the reference pools/normalizes over
+    zero-padded frames (src/datasets.py:64-71 collation; lengths unused by
+    the model). Our default (mask=None) must reproduce that exactly."""
+    tmodel, jmodel, variables = _make_pair(ref_models, n_mega_blocks=1)
+    rng = np.random.default_rng(7)
+    # batch padded to max length with zeros, reference-style
+    x = np.zeros((3, 80, 50), np.float32)
+    lengths = [50, 30, 17]
+    for i, ln in enumerate(lengths):
+        x[i, :, :ln] = rng.standard_normal((80, ln))
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+    ours = np.asarray(
+        l2_normalize(jmodel.apply(variables, jnp.asarray(x.transpose(0, 2, 1)),
+                                  train=False))
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
