@@ -168,6 +168,10 @@ def frame_signal(
         squeeze = False
     b, t = x.shape
     pad = n_fft // 2
+    assert t > pad, (
+        f"input length {t} must exceed n_fft//2={pad} for reflect padding "
+        "(same constraint as torch.stft center=True)"
+    )
     n_frames = 1 + t // hop_length
     k_slices = -(-n_fft // hop_length)  # ceil
     # buffer must cover (n_frames-1)*hop + k_slices*hop samples

@@ -172,9 +172,12 @@ def run_verification(
     loader.set_epoch(0)
     for batch in loader:
         wav, lengths, spk = _device_batch(batch)
+        # masked=True: the reference scores SOLO (batch-1) embeddings
+        # (src/learn.py:437); masked pooling makes a padded batched
+        # embedding equal the utterance's solo embedding.
         emb = embed_step(
             state.params["backbone"], state.batch_stats, wav, lengths,
-            model=model, frontend=frontend,
+            model=model, frontend=frontend, masked=True,
         )
         embeddings.append(np.asarray(emb))
         speakers.extend(np.asarray(spk).tolist())
