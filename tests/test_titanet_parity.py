@@ -180,3 +180,39 @@ def test_padded_batch_matches_reference_padding_semantics(ref_models):
                                   train=False))
     )
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_load_reference_checkpoint_file(ref_models, tmp_path):
+    """The .pth loading path handles both raw state_dicts and the
+    reference's full checkpoint blobs ({model, optimizer, ...},
+    src/learn.py:188-195)."""
+    from titanet_tpu.utils.torch_compat import load_reference_checkpoint
+
+    tmodel, jmodel, _ = _make_pair(ref_models, n_mega_blocks=1)
+    blob = {
+        "model": tmodel.state_dict(),
+        "optimizer": {},
+        "lr_scheduler": {},
+        "epoch": 75,
+    }
+    path = str(tmp_path / "epoch_75.pth")
+    torch.save(blob, path)
+    params, stats = load_reference_checkpoint(path)
+    variables = {
+        "params": jax.tree.map(jnp.asarray, params),
+        "batch_stats": jax.tree.map(jnp.asarray, stats),
+    }
+    x = np.random.default_rng(9).standard_normal((2, 80, 33)).astype(np.float32)
+    tmodel.eval()
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+    ours = np.asarray(
+        l2_normalize(jmodel.apply(variables, jnp.asarray(x.transpose(0, 2, 1)),
+                                  train=False))
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+    # raw state_dict variant too
+    torch.save(tmodel.state_dict(), path)
+    params2, _ = load_reference_checkpoint(path)
+    jax.tree.map(np.testing.assert_array_equal, params, params2)
