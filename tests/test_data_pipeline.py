@@ -172,3 +172,16 @@ def test_balanced_sampler_on_subset(ds):
         ids, counts = np.unique(batch.speaker_ids, return_counts=True)
         assert len(ids) == 3 and (counts == 2).all()
         assert set(ids.tolist()) <= {0, 1, 2, 3}
+
+
+def test_get_random_utterances(ds):
+    utts, spks = ds.get_random_utterances(
+        n_speakers=3, n_utterances_per_speaker=5, seed=42
+    )
+    assert len(utts) == 15 and len(spks) == 15
+    # each utterance actually belongs to its claimed speaker
+    for u, s in zip(utts, spks):
+        assert u in ds.speakers_utterances[s]
+    # deterministic under the same seed
+    utts2, _ = ds.get_random_utterances(3, 5, seed=42)
+    assert list(utts) == list(utts2)

@@ -224,3 +224,16 @@ def test_masked_pooling_ignores_padding():
     np.testing.assert_allclose(
         np.asarray(out_masked), np.asarray(out_masked2), rtol=1e-5, atol=1e-5
     )
+
+
+def test_simple_pooling_masked():
+    from titanet_tpu.ops import SimplePooling
+
+    x = jnp.asarray(_rand(2, 10, 16))
+    mod = SimplePooling()
+    params = mod.init(jax.random.key(0), x)
+    mask = jnp.ones((2, 10)).at[:, 6:].set(0.0)
+    a = mod.apply(params, x, mask=mask)
+    x_garbage = x.at[:, 6:, :].set(1e6)
+    b = mod.apply(params, x_garbage, mask=mask)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
