@@ -117,3 +117,42 @@ def test_titanet_train_step_runs():
         not np.allclose(b, np.asarray(a)) for b, a in zip(stats_before, after)
     )
     assert changed
+
+
+def test_optimizer_schedule_matches_reference_cosine():
+    """Reference uses CosineAnnealingLR stepped per epoch
+    (src/train.py:137-144): lr(e) = eta_min + (lr0-eta_min)*(1+cos(pi*e/T))/2.
+    Ours translates to per-step; check the per-epoch boundaries line up."""
+    import optax
+
+    start, end, epochs, spe = 1e-3, 1e-5, 10, 7
+    opt = make_optimizer(start_lr=start, scheduler=True, end_lr=end,
+                         total_epochs=epochs, steps_per_epoch=spe)
+    # recover the schedule by applying the chain to a unit gradient
+    params = {"w": jnp.zeros(1)}
+    state = opt.init(params)
+    lrs = []
+    for step in range(epochs * spe):
+        updates, state = opt.update({"w": jnp.ones(1)}, state, params)
+        lrs.append(float(-updates["w"][0]))  # adam of constant grad -> ~lr
+    # optax cosine_decay: value(k) = end + (start-end) * 0.5*(1+cos(pi*k/K))
+    for epoch in (0, 5, 9):
+        k = epoch * spe
+        expected = end + (start - end) * 0.5 * (1 + np.cos(np.pi * k / (epochs * spe)))
+        # adam's unit-gradient step magnitude ~= lr (bias-corrected, eps small)
+        assert abs(lrs[k] - expected) / expected < 0.05, (epoch, lrs[k], expected)
+
+
+def test_optimizer_warmup_and_clip():
+    opt = make_optimizer(start_lr=1e-2, warmup_epochs=2, steps_per_epoch=5,
+                         grad_clip_norm=1.0)
+    params = {"w": jnp.zeros(3)}
+    state = opt.init(params)
+    big = {"w": jnp.full(3, 100.0)}  # norm >> 1 -> clipped to unit norm
+    mags = []
+    for _ in range(12):
+        updates, state = opt.update(big, state, params)
+        mags.append(float(jnp.linalg.norm(updates["w"])))
+    # warmup: first step tiny, grows until step 10
+    assert mags[0] < mags[5] < mags[9] * 1.01
+    assert np.isfinite(mags).all()
