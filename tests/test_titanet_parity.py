@@ -216,3 +216,37 @@ def test_load_reference_checkpoint_file(ref_models, tmp_path):
     torch.save(tmodel.state_dict(), path)
     params2, _ = load_reference_checkpoint(path)
     jax.tree.map(np.testing.assert_array_equal, params, params2)
+
+
+def test_head_migration_from_reference_checkpoint(ref_models, tmp_path):
+    """Reference checkpoints include the loss head under loss_function.*;
+    migrated heads must produce identical logits/loss."""
+    import losses as ref_losses
+
+    from titanet_tpu.losses.heads import build_head
+    from titanet_tpu.utils.torch_compat import load_reference_checkpoint
+
+    torch.manual_seed(1)
+    loss = ref_losses.ArcFaceLoss(16, 5, scale=30, margin=0.2)
+    tmodel = ref_models.TitaNet(
+        n_mels=80, n_mega_blocks=1, n_sub_blocks=3, encoder_hidden_size=32,
+        encoder_output_size=48, embedding_size=16, mega_block_kernel_size=3,
+        loss_function=loss, dropout=0.0,
+    )
+    path = str(tmp_path / "ck.pth")
+    torch.save({"model": tmodel.state_dict()}, path)
+    params, stats, head_params = load_reference_checkpoint(path, with_head=True)
+    assert head_params is not None and head_params["weight"].shape == (16, 5)
+
+    emb = np.random.default_rng(0).standard_normal((6, 16)).astype(np.float32) * 2
+    targets = np.asarray([0, 1, 2, 3, 4, 0])
+    tmodel.eval()
+    with torch.no_grad():
+        _, r_preds, r_loss = loss(torch.from_numpy(emb), torch.from_numpy(targets))
+        # reference renormalizes its weight in place during forward; use the
+        # post-forward weight for exact comparison
+        w_after = loss.fc.weight.detach().numpy()
+    head = build_head("arc", 16, 5, scale=30.0, margin=0.2, stable=False)
+    o = head.apply({"params": {"weight": jnp.asarray(w_after.T)}},
+                   jnp.asarray(emb), jnp.asarray(targets))
+    np.testing.assert_allclose(float(o[2]), float(r_loss), rtol=1e-4)

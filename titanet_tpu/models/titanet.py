@@ -12,9 +12,9 @@ Differences from the reference by design (not by accident):
 
 - the model NEVER owns the loss: ``__call__`` returns raw embeddings
   ``[B, E]``; classification heads live in ``titanet_tpu.losses`` with their
-  own param tree (the reference hid head weights inside loss objects so they
-  were silently dropped from checkpoints — src/models.py:318-339,
-  src/learn.py:188-195),
+  own param tree (the reference attached the loss module to the model —
+  src/models.py:318-339 — entangling head weights with the model's
+  state_dict under ``loss_function.*``),
 - BatchNorm state is explicit (flax ``batch_stats``), dropout takes a PRNG
   key, train/eval is a static flag — jit/pjit-safe,
 - optional ``mask`` input for length-aware statistics (off = reference

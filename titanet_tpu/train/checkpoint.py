@@ -5,8 +5,7 @@ every 25 epochs + final) and has no resume path — loading happened manually
 in the notebook. Here:
 
 - :func:`save_checkpoint` writes the FULL train state (params incl. the
-  classification head, batch_stats, optimizer state, step, PRNG key) — the
-  reference silently dropped head weights from its checkpoints (SURVEY.md §1),
+  classification head, batch_stats, optimizer state, step, PRNG key),
 - :func:`restore_latest` resumes training exactly where it stopped,
 - torch ``.pth`` checkpoints from the reference can be imported via
   :mod:`titanet_tpu.utils.torch_compat`.

@@ -166,10 +166,35 @@ def convert_dvector_state_dict(sd: Dict) -> Dict:
     return params
 
 
-def load_reference_checkpoint(path: str) -> Tuple[Dict, Dict]:
-    """Load a reference ``.pth`` checkpoint file (requires torch)."""
+def convert_head_state_dict(sd: Dict):
+    """Extract classification-head params when the checkpoint has them.
+
+    The reference registers the loss module as a model attribute, so its
+    ``state_dict`` includes ``loss_function.*`` keys (CE: fc.weight+bias;
+    angular: fc.weight; GE2E: w, b). Returns a params dict matching
+    :mod:`titanet_tpu.losses.heads` layouts, or None.
+    """
+    if "loss_function.fc.weight" in sd:
+        if "loss_function.fc.bias" in sd:  # CEHead
+            return {"fc": _linear(sd, "loss_function.fc")}
+        return {"weight": _np(sd["loss_function.fc.weight"]).T}  # angular
+    if "loss_function.w" in sd:  # GE2E
+        return {"w": _np(sd["loss_function.w"]), "b": _np(sd["loss_function.b"])}
+    return None
+
+
+def load_reference_checkpoint(path: str, with_head: bool = False):
+    """Load a reference ``.pth`` checkpoint file (requires torch).
+
+    Returns ``(params, batch_stats)``, or ``(params, batch_stats, head)``
+    with ``with_head=True`` (head is None when the checkpoint was saved
+    without a loss module).
+    """
     import torch
 
     blob = torch.load(path, map_location="cpu", weights_only=True)
     sd = blob.get("model", blob) if isinstance(blob, dict) else blob
-    return convert_titanet_state_dict(sd)
+    params, stats = convert_titanet_state_dict(sd)
+    if with_head:
+        return params, stats, convert_head_state_dict(sd)
+    return params, stats
