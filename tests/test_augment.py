@@ -106,3 +106,139 @@ def test_reverb_matches_reference_conv():
 
     ours = np.asarray(reverb(jnp.asarray(x), jnp.asarray(rir)))
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# SpecAugment time stretch (reference src/transforms.py:167-178)
+# ---------------------------------------------------------------------------
+
+
+def _torch_vocoder_magnitude(spec: np.ndarray, rate: float) -> np.ndarray:
+    """Magnitude path of torchaudio.functional.phase_vocoder (transcribed
+    from the documented algorithm): mag[j] = a*|s[idx+1]| + (1-a)*|s[idx]|
+    with idx = floor(j*rate), two trailing zero-pad frames, output length
+    ceil(n_time / rate). Phases cancel in the reference pipeline because it
+    takes .abs().pow(2) immediately after stretching."""
+    n_time = spec.shape[-1]
+    time_steps = np.arange(0, n_time, rate)
+    alphas = time_steps % 1.0
+    spec_pad = np.pad(spec, [(0, 0)] * (spec.ndim - 1) + [(0, 2)])
+    idx = time_steps.astype(np.int64)
+    n0 = np.abs(spec_pad[..., idx])
+    n1 = np.abs(spec_pad[..., idx + 1])
+    return alphas * n1 + (1.0 - alphas) * n0
+
+
+def test_stretch_interp_matrix_matches_vocoder_magnitude():
+    from titanet_tpu.ops.augment import stretch_interp_matrix
+
+    rng = np.random.default_rng(0)
+    n_freq, n_time = 257, 101
+    spec = (
+        rng.standard_normal((n_freq, n_time)) + 1j * rng.standard_normal((n_freq, n_time))
+    ).astype(np.complex64)
+    amp = np.abs(spec).astype(np.float32)  # [freq, time]
+    for rate in (0.9, 0.95, 1.0, 1.05, 1.13):
+        ref = _torch_vocoder_magnitude(spec, rate)  # [freq, ceil(T/rate)]
+        w = np.asarray(stretch_interp_matrix(n_time, jnp.float32(rate)))
+        ours = (w @ np.pad(amp, ((0, 0), (0, 2))).T).T  # [freq, n_time]
+        n_out = ref.shape[-1]
+        k = min(n_out, n_time)
+        np.testing.assert_allclose(ours[:, :k], ref[:, :k], rtol=1e-4, atol=1e-5)
+
+
+def test_log_mel_specaugment_gate_off_equals_plain():
+    from titanet_tpu.ops.augment import AugmentConfig, log_mel_specaugment
+    from titanet_tpu.ops.frontend import FrontendConfig, log_mel_spectrogram
+
+    cfg = FrontendConfig.from_ms()
+    rng = np.random.default_rng(1)
+    wav = jnp.asarray(rng.standard_normal((2, 16000)) * 0.1, jnp.float32)
+    lengths = jnp.asarray([16000, 12000], jnp.int32)
+    plain, mask = log_mel_spectrogram(wav, cfg, lengths=lengths)
+    aug = AugmentConfig(probability=0.0)
+    out, mask2 = jax.jit(
+        lambda k, w, l: log_mel_specaugment(k, w, cfg, aug, lengths=l)
+    )(jax.random.key(0), wav, lengths)
+    np.testing.assert_array_equal(np.asarray(mask), np.asarray(mask2))
+    # gate off -> rate 1.0 -> identity interp matrix; only the sqrt->square
+    # round trip differs from the plain power path (the reference itself
+    # does abs().pow(2), the same round trip)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(plain), atol=2e-4)
+
+
+def test_log_mel_specaugment_padded_batch_matches_solo_stretch():
+    """A padded batch row stretched at a fixed rate must equal the solo
+    (exact-length) pipeline: power spec -> vocoder magnitude -> square ->
+    mel -> dB -> L2 norm, then zero-pad (the reference stretches each
+    utterance alone before collation)."""
+    from titanet_tpu.ops.augment import AugmentConfig, log_mel_specaugment
+    from titanet_tpu.ops.frontend import (
+        FrontendConfig,
+        amplitude_to_db,
+        l2_normalize_mels,
+        mel_filterbank,
+        log_mel_spectrogram,
+        spectrogram,
+    )
+
+    cfg = FrontendConfig.from_ms()
+    rate = 1.05
+    rng = np.random.default_rng(2)
+    t_full, t_short = 16000, 11200
+    wav_full = rng.standard_normal(t_full).astype(np.float32) * 0.1
+    wav_short = wav_full[:t_short]
+    batch = np.zeros((2, t_full), np.float32)
+    batch[0] = wav_full
+    batch[1, :t_short] = wav_short
+    lengths = jnp.asarray([t_full, t_short], jnp.int32)
+
+    aug = AugmentConfig(
+        min_rate=rate, max_rate=rate, probability=1.0,
+        freq_mask_num=0, time_mask_num=0,
+    )
+    out, mask = jax.jit(
+        lambda k, w, l: log_mel_specaugment(k, w, cfg, aug, lengths=l)
+    )(jax.random.key(3), jnp.asarray(batch), lengths)
+    out = np.asarray(out)
+    mel_fb = mel_filterbank(cfg.n_fft // 2 + 1, cfg.n_mels, cfg.sample_rate)
+
+    for row, wav in ((0, wav_full), (1, wav_short)):
+        p_solo = np.asarray(spectrogram(jnp.asarray(wav[None]), cfg, power=2.0))[0]
+        mag = _torch_vocoder_magnitude(np.sqrt(p_solo).T, rate).T  # [F', bins]
+        mel = (mag**2) @ mel_fb
+        ref = np.asarray(l2_normalize_mels(amplitude_to_db(jnp.asarray(mel))))
+        n_out = ref.shape[0]
+        assert int(np.asarray(mask)[row].sum()) == n_out
+        np.testing.assert_allclose(out[row, :n_out], ref, rtol=1e-4, atol=1e-4)
+        assert np.all(out[row, n_out:] == 0.0)
+
+
+def test_train_step_with_augment_config():
+    from titanet_tpu.losses.heads import build_head
+    from titanet_tpu.models import TitaNet
+    from titanet_tpu.ops.augment import AugmentConfig
+    from titanet_tpu.ops.frontend import FrontendConfig
+    from titanet_tpu.train import create_train_state, make_optimizer, train_step
+
+    frontend = FrontendConfig.from_ms()
+    model = TitaNet(
+        n_mega_blocks=1, encoder_hidden_size=16, encoder_output_size=24,
+        embedding_size=8, attention_hidden_size=4, dropout=0.0,
+    )
+    head = build_head("ce", 8, 4)
+    opt = make_optimizer(start_lr=1e-3)
+    state = create_train_state(
+        jax.random.key(0), model, head, opt, jnp.zeros((2, 101, 80)), 4
+    )
+    rng = np.random.default_rng(4)
+    wav = jnp.asarray(rng.standard_normal((4, 16000)) * 0.1, jnp.float32)
+    lengths = jnp.asarray([16000, 12000, 16000, 9000], jnp.int32)
+    spk = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    aug = AugmentConfig(probability=0.5)
+    state, metrics = train_step(
+        state, wav, lengths, spk, model=model, head=head, optimizer=opt,
+        frontend=frontend, augment=aug,
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1

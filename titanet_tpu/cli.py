@@ -189,11 +189,17 @@ def train(cfg: Config) -> None:
 
     augment = None
     if "specaugment" in (cfg.augmentation.enable or []):
+        # reference semantics (src/transforms.py:58-72): specaugment =
+        # gated time stretch at speed.min..max + freq/time masking
+        from titanet_tpu.ops.augment import AugmentConfig
+
         sa = cfg.augmentation.specaugment
-        augment = (
-            sa.freq_mask_ratio, sa.freq_mask_num,
-            sa.time_mask_ratio, sa.time_mask_num,
-            cfg.augmentation.probability,
+        augment = AugmentConfig(
+            min_rate=cfg.augmentation.speed.min,
+            max_rate=cfg.augmentation.speed.max,
+            freq_mask_ratio=sa.freq_mask_ratio, freq_mask_num=sa.freq_mask_num,
+            time_mask_ratio=sa.time_mask_ratio, time_mask_num=sa.time_mask_num,
+            probability=cfg.augmentation.probability,
         )
 
     run_name = cfg.training.run_name

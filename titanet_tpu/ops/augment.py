@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import math
 from functools import lru_cache
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,23 +38,32 @@ import numpy as np
 def mask_along_axis(
     key: jax.Array,
     spec: jax.Array,
-    mask_param: float,
+    mask_param,
     axis: int,
     mask_value: float = 0.0,
+    size=None,
 ) -> jax.Array:
     """torchaudio ``mask_along_axis`` semantics for a single example:
     ``width ~ U(0, mask_param)``, ``start ~ U(0, size - width)``, zero out
-    ``[int(start), int(start+width))`` along ``axis``."""
-    size = spec.shape[axis]
+    ``[int(start), int(start+width))`` along ``axis``.
+
+    ``mask_param`` and ``size`` may be traced scalars: with per-row valid
+    frame counts, the mask is drawn over the row's TRUE extent — matching
+    the reference's per-example (pre-collation) masking
+    (src/transforms.py:186-201), where the time-mask width scales with the
+    utterance's own frame count, not the padded batch length."""
+    dim = spec.shape[axis]
+    if size is None:
+        size = dim
     k1, k2 = jax.random.split(key)
     value = jax.random.uniform(k1) * mask_param
     min_value = jax.random.uniform(k2) * (size - value)
     start = min_value.astype(jnp.int32)
     end = (min_value + value).astype(jnp.int32)
-    ids = jnp.arange(size)
+    ids = jnp.arange(dim)
     mask = (ids >= start) & (ids < end)
     shape = [1] * spec.ndim
-    shape[axis] = size
+    shape[axis] = dim
     return jnp.where(mask.reshape(shape), mask_value, spec)
 
 
@@ -141,6 +150,139 @@ def phase_vocoder(
 
     mag = alphas * norm_1 + (1.0 - alphas) * norm_0
     return mag * jnp.exp(1j * phase_acc)
+
+
+class AugmentConfig(NamedTuple):
+    """SpecAugment hyper-parameters (reference MelSpectrogram kwargs,
+    src/transforms.py:118-156 / get_transforms src/transforms.py:58-72).
+    Hashable static argument for the jitted train step."""
+
+    min_rate: float = 0.95  # reference specaugment_min_speed
+    max_rate: float = 1.05  # reference specaugment_max_speed
+    freq_mask_ratio: float = 0.35
+    freq_mask_num: int = 1
+    time_mask_ratio: float = 0.15
+    time_mask_num: int = 1
+    probability: float = 1.0
+    time_stretch: bool = True
+
+
+def stretch_interp_matrix(n_time: int, rate, dtype=jnp.float32) -> jax.Array:
+    """``[n_time, n_time + 2]`` banded linear-interpolation matrix ``W`` such
+    that ``W @ S_pad`` equals torchaudio ``phase_vocoder``'s magnitude path
+    with a FIXED output length: row ``j`` holds ``1 - alpha_j`` at column
+    ``idx_j = floor(j * rate)`` and ``alpha_j = j*rate % 1`` at ``idx_j + 1``
+    (``S_pad`` carries torch's two trailing zero-pad frames). ``rate`` may be
+    a traced scalar, so a per-example continuous random rate jits with static
+    shapes — rows past ``ceil(valid / rate)`` read the zero pad and must be
+    masked by the caller.
+
+    TPU note: expressing the resample as a matmul keeps it on the MXU; an
+    index gather along time measures ~25x slower on TPU.
+    """
+    steps = jnp.arange(n_time, dtype=dtype) * rate
+    alphas = steps % 1.0
+    idx = jnp.minimum(steps.astype(jnp.int32), n_time)  # clamp into zero pad
+    cols = jnp.arange(n_time + 2)
+    w0 = (cols[None, :] == idx[:, None]) * (1.0 - alphas)[:, None]
+    w1 = (cols[None, :] == (idx + 1)[:, None]) * alphas[:, None]
+    return (w0 + w1).astype(dtype)
+
+
+def log_mel_specaugment(
+    key: jax.Array,
+    waveform: jax.Array,
+    frontend_cfg,
+    aug: AugmentConfig,
+    lengths: Optional[jax.Array] = None,
+    mel_fb: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Full training frontend with SpecAugment: ``[B, T] ->
+    ([B, F, n_mels], frames_mask [B, F])``.
+
+    Rebuild of the reference MelSpectrogram.__call__ WITH specaugment enabled
+    (src/transforms.py:158-201): ONE per-example gate ``u < probability``
+    turns on BOTH the time stretch (continuous rate ~ U(min, max) applied to
+    the complex spectrogram, src/transforms.py:167-175) and the freq/time
+    masking after dB + normalize (src/transforms.py:186-201).
+
+    The reference squares the stretched spectrogram's magnitude immediately
+    (``.abs().pow(2)``, src/transforms.py:178), so the vocoder's phase
+    accumulation cancels out of the final mel output; the stretch reduces
+    EXACTLY to linear interpolation of frame magnitudes —
+    ``alpha*|s1| + (1-alpha)*|s0|`` — implemented here as one banded matmul
+    per example (:func:`stretch_interp_matrix`). Time-mask widths and starts
+    use each row's TRUE (post-stretch) frame count, as the reference masks
+    per example before collation.
+    """
+    from titanet_tpu.ops.frontend import (
+        amplitude_to_db,
+        l2_normalize_mels,
+        mel_filterbank,
+        spectrogram,
+    )
+
+    cfg = frontend_cfg
+    if mel_fb is None:
+        mel_fb = jnp.asarray(
+            mel_filterbank(cfg.n_fft // 2 + 1, cfg.n_mels, cfg.sample_rate)
+        )
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if cfg.precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
+    p = spectrogram(waveform, cfg, power=2.0, lengths=lengths)  # [B, F, bins]
+    b, n_frames, _ = p.shape
+    if lengths is not None:
+        valid = (1 + lengths // cfg.hop_length).astype(jnp.int32)
+    else:
+        valid = jnp.full((b,), n_frames, jnp.int32)
+    frame_ids = jnp.arange(n_frames)
+
+    def stretch_one(key, p_row, v):
+        k_gate, k_rate, k_mask = jax.random.split(key, 3)
+        gate = jax.random.uniform(k_gate) < aug.probability
+        rate = jnp.where(
+            gate,
+            jax.random.uniform(k_rate, minval=aug.min_rate, maxval=aug.max_rate),
+            1.0,
+        )
+        if aug.time_stretch:
+            # reference .abs() then stretch: interpolate amplitudes, square
+            amp = jnp.sqrt(p_row) * (frame_ids < v)[:, None].astype(p_row.dtype)
+            w = stretch_interp_matrix(n_frames, rate, amp.dtype)
+            amp = jnp.dot(
+                w, jnp.pad(amp, ((0, 2), (0, 0))), precision=jax.lax.Precision.HIGHEST
+            )
+            p_out = amp * amp
+            new_v = jnp.minimum(
+                jnp.ceil(v.astype(jnp.float32) / rate).astype(jnp.int32), n_frames
+            )
+        else:
+            p_out, new_v = p_row, v
+        return p_out, new_v, gate, k_mask
+
+    keys = jax.random.split(key, b)
+    p, new_valid, gates, mask_keys = jax.vmap(stretch_one)(keys, p, valid)
+    mel = jnp.dot(p, mel_fb.astype(p.dtype), precision=prec)
+    out = l2_normalize_mels(amplitude_to_db(mel))  # [B, F, n_mels]
+    n_mels = out.shape[-1]
+
+    def mask_one(key, s, v, gate):
+        masked = s
+        for _ in range(aug.freq_mask_num):
+            key, k = jax.random.split(key)
+            masked = mask_along_axis(k, masked, aug.freq_mask_ratio * n_mels, axis=1)
+        time_param = aug.time_mask_ratio * v
+        for _ in range(aug.time_mask_num):
+            key, k = jax.random.split(key)
+            masked = mask_along_axis(k, masked, time_param, axis=0, size=v)
+        return jnp.where(gate, masked, s)
+
+    out = jax.vmap(mask_one)(mask_keys, out, new_valid, gates)
+    mask = (frame_ids[None, :] < new_valid[:, None]).astype(out.dtype)
+    return out * mask[..., None], mask
 
 
 # ---------------------------------------------------------------------------

@@ -26,8 +26,21 @@ from flax import struct
 
 from titanet_tpu.losses.heads import renormalize_params
 from titanet_tpu.models import l2_normalize
-from titanet_tpu.ops.augment import spec_augment
+from titanet_tpu.ops.augment import AugmentConfig, log_mel_specaugment
 from titanet_tpu.ops.frontend import FrontendConfig, log_mel_spectrogram
+
+
+def _as_augment_config(augment) -> Optional[AugmentConfig]:
+    """Normalize the static ``augment`` argument: AugmentConfig, or the
+    legacy 5-tuple (freq_ratio, freq_n, time_ratio, time_n, prob) —
+    masking + time stretch at the reference's default 0.95-1.05 rates."""
+    if augment is None or isinstance(augment, AugmentConfig):
+        return augment
+    fr, fn, tr, tn, prob = augment
+    return AugmentConfig(
+        freq_mask_ratio=fr, freq_mask_num=fn,
+        time_mask_ratio=tr, time_mask_num=tn, probability=prob,
+    )
 
 
 class TrainState(struct.PyTreeNode):
@@ -90,14 +103,13 @@ def train_step(
 ):
     """One fused wav->grads->update step. Returns (new_state, metrics)."""
     key, k_aug, k_drop = jax.random.split(state.key, 3)
-    mel, mask = log_mel_spectrogram(waveform, frontend, lengths=lengths)
-    if augment is not None:
-        fr, fn, tr, tn, prob = augment
-        mel = spec_augment(
-            k_aug, mel, freq_mask_ratio=fr, freq_mask_num=fn,
-            time_mask_ratio=tr, time_mask_num=tn, probability=prob,
-            frames_mask=mask,
-        )
+    aug = _as_augment_config(augment)
+    if aug is not None:
+        # full reference SpecAugment: per-example gated time stretch on the
+        # spectrogram + freq/time masking (src/transforms.py:167-201)
+        mel, mask = log_mel_specaugment(k_aug, waveform, frontend, aug, lengths=lengths)
+    else:
+        mel, mask = log_mel_spectrogram(waveform, frontend, lengths=lengths)
     model_mask = mask if masked else None
 
     def loss_fn(params):
