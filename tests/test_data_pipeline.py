@@ -185,3 +185,32 @@ def test_get_random_utterances(ds):
     # deterministic under the same seed
     utts2, _ = ds.get_random_utterances(3, 5, seed=42)
     assert list(utts) == list(utts2)
+
+
+def test_int16_transport_roundtrip():
+    """int16 wire format: loader quantizes, device step dequantizes; the
+    resulting mel is within the 16-bit source's own precision of the f32
+    path."""
+    import jax.numpy as jnp
+
+    from titanet_tpu.data.dataset import SyntheticSpeakerDataset
+    from titanet_tpu.data.loader import ChunkConfig, DataLoader
+    from titanet_tpu.ops.frontend import FrontendConfig, log_mel_spectrogram
+    from titanet_tpu.train.state import _dequantize_waveform
+
+    ds = SyntheticSpeakerDataset(n_speakers=2, utterances_per_speaker=2)
+    kw = dict(batch_size=4, shuffle=False, drop_last=False,
+              chunk=ChunkConfig(enabled=False), prefetch=0, seed=1)
+    b16 = next(iter(DataLoader(ds, transport_dtype="int16", **kw)))
+    b32 = next(iter(DataLoader(ds, transport_dtype="float32", **kw)))
+    assert b16.waveform.dtype == np.int16
+    assert b32.waveform.dtype == np.float32
+    wav16 = _dequantize_waveform(jnp.asarray(b16.waveform))
+    np.testing.assert_allclose(np.asarray(wav16), b32.waveform, atol=1.0 / 32768)
+    cfg = FrontendConfig.from_ms()
+    mel16, _ = log_mel_spectrogram(wav16, cfg, lengths=jnp.asarray(b16.lengths))
+    mel32, _ = log_mel_spectrogram(
+        jnp.asarray(b32.waveform), cfg, lengths=jnp.asarray(b32.lengths)
+    )
+    # log-domain, L2-normalized: quantization noise stays tiny
+    assert float(jnp.max(jnp.abs(mel16 - mel32))) < 5e-3

@@ -99,3 +99,44 @@ def test_all_pairs_protocol_matches_reference_shape():
     np.testing.assert_allclose(scores.reshape(20, 20).diagonal(), 1.0, rtol=1e-9)
     m = get_test_metrics(scores, labels)
     assert 0 <= m["eer"] <= 1 and m["mindcf"] >= 0
+
+
+def test_metrics_from_class_counts_matches_list_metrics():
+    """Device-side accumulation (train loop fast path) must reproduce
+    get_train_val_metrics exactly, including sklearn's label-union macro."""
+    import jax
+    import jax.numpy as jnp
+
+    from titanet_tpu.train import (
+        accumulate_metrics,
+        get_train_val_metrics,
+        init_metrics_acc,
+        metrics_from_class_counts,
+    )
+
+    rng = np.random.default_rng(7)
+    n_classes = 11  # some classes never appear in preds or targets
+    acc = init_metrics_acc(n_classes)
+    y_true_all, y_pred_all = [], []
+    for step in range(5):
+        y_true = rng.integers(0, 7, size=16)
+        y_pred = rng.integers(0, 9, size=16)
+        y_true_all.extend(y_true.tolist())
+        y_pred_all.extend(y_pred.tolist())
+        acc = accumulate_metrics(
+            acc, jnp.float32(0.5), jnp.asarray(y_pred), jnp.asarray(y_true)
+        )
+    host = jax.device_get(acc)
+    ours = metrics_from_class_counts(
+        host.tp, host.pred_count, host.true_count, host.correct,
+        host.n_examples, prefix="train",
+    )
+    ref = get_train_val_metrics(y_true_all, y_pred_all, prefix="train")
+    for k in ref:
+        np.testing.assert_allclose(ours[k], ref[k], rtol=1e-12, err_msg=k)
+    assert float(host.loss_sum) == pytest.approx(2.5)
+    assert int(host.steps) == 5
+    assert not bool(host.nonfinite)
+    # non-finite flag latches
+    acc = accumulate_metrics(acc, jnp.float32(np.nan), None, jnp.asarray([0]))
+    assert bool(jax.device_get(acc).nonfinite)

@@ -142,6 +142,7 @@ def train(cfg: Config) -> None:
         chunk=chunk, speed=speed, reverb=reverb, balanced=balanced,
         sample_rate=cfg.audio.sample_rate, seed=cfg.generic.seed,
         num_workers=max(cfg.generic.workers, 0),
+        transport_dtype=cfg.training.transport_dtype,
     )
     val_loader = DataLoader(
         val_ds, batch_size=cfg.validation.batch_size, shuffle=False,

@@ -88,6 +88,9 @@ class TrainingConfig:
     # best-checkpoint tracking (saved at step 0) + optional early stopping
     track_best: str = "val/avg_loss"
     early_stop_patience: Optional[int] = None  # validations without improvement
+    # waveform wire format host->device for the TRAIN loader: int16 halves
+    # the transfer (sources are 16-bit PCM); val/test stay float32
+    transport_dtype: str = "int16"
 
 
 @_register

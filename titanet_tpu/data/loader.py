@@ -32,7 +32,9 @@ from titanet_tpu.data.dataset import SpeakerDataset
 
 @dataclass
 class Batch:
-    """One host batch (numpy). ``waveform [B, T]`` mono float32."""
+    """One host batch (numpy). ``waveform [B, T]`` mono float32, or int16
+    PCM when the loader's ``transport_dtype="int16"`` (dequantized on
+    device by the jitted steps)."""
 
     waveform: np.ndarray
     lengths: np.ndarray  # int32 [B] valid samples per row
@@ -103,6 +105,9 @@ class DataLoader:
         shard_id: int = 0,
         num_shards: int = 1,
         balanced: Optional[tuple] = None,  # (n_speakers, m_utterances) per batch
+        transport_dtype: str = "float32",  # or "int16": PCM wire format,
+        # halves host->device transfer (dequantized on device; audio sources
+        # are 16-bit PCM, so int16 is the source's own precision)
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -133,6 +138,8 @@ class DataLoader:
             assert batch_size == balanced[0] * balanced[1], (
                 "batch_size must equal n_speakers * m_utterances"
             )
+        assert transport_dtype in ("float32", "int16")
+        self.transport_dtype = transport_dtype
         self.epoch = 0
         self._rir_cache: dict = {}
 
@@ -201,10 +208,13 @@ class DataLoader:
     def _make_batch(self, waves, speakers) -> Batch:
         longest = max(len(w) for w in waves)
         t = self._bucket_for(longest)
-        batch = np.zeros((len(waves), t), np.float32)
+        int16 = self.transport_dtype == "int16"
+        batch = np.zeros((len(waves), t), np.int16 if int16 else np.float32)
         lengths = np.zeros(len(waves), np.int32)
         for i, w in enumerate(waves):
             w = w[:t]
+            if int16:
+                w = np.clip(w * 32768.0, -32768, 32767).astype(np.int16)
             batch[i, : len(w)] = w
             lengths[i] = len(w)
         return Batch(batch, lengths, np.asarray(speakers, np.int32))

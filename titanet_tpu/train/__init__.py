@@ -7,12 +7,16 @@ from titanet_tpu.train.metrics import (  # noqa: F401
     cosine_scores,
     get_test_metrics,
     get_train_val_metrics,
+    metrics_from_class_counts,
 )
 from titanet_tpu.train.state import (  # noqa: F401
+    MetricsAcc,
     TrainState,
+    accumulate_metrics,
     create_train_state,
     embed_step,
     eval_step,
+    init_metrics_acc,
     make_optimizer,
     train_step,
 )

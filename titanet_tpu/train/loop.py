@@ -32,9 +32,16 @@ from titanet_tpu.train import checkpoint as ckpt
 from titanet_tpu.train.metrics import (
     all_pairs_scores_labels,
     get_test_metrics,
-    get_train_val_metrics,
+    metrics_from_class_counts,
 )
-from titanet_tpu.train.state import TrainState, embed_step, eval_step, train_step
+from titanet_tpu.train.state import (
+    TrainState,
+    accumulate_metrics,
+    embed_step,
+    eval_step,
+    init_metrics_acc,
+    train_step,
+)
 from titanet_tpu.utils.logging import ConsoleLogger, JsonlLogger, StepTimer, WandbLogger
 
 
@@ -43,14 +50,44 @@ class NonFiniteLossError(RuntimeError):
 
 
 def _device_batch(batch: Batch, sharding=None):
-    arrays = (
+    if sharding is not None:
+        return (
+            jax.device_put(batch.waveform, sharding),
+            jax.device_put(batch.lengths, sharding),
+            jax.device_put(batch.speaker_ids, sharding),
+        )
+    return (
         jnp.asarray(batch.waveform),
         jnp.asarray(batch.lengths),
         jnp.asarray(batch.speaker_ids),
     )
-    if sharding is not None:
-        arrays = tuple(jax.device_put(a, sharding) for a in arrays)
-    return arrays
+
+
+def _staged_batches(loader, sharding=None, depth: int = 2):
+    """Iterate a loader with host->device transfers staged ``depth`` batches
+    ahead. ``jax.device_put`` is asynchronous, so batch N+depth uploads while
+    step N computes — the loop never waits on PCIe/relay transfer unless the
+    device is starved. Yields ((wav, lengths, speakers) device arrays, host
+    Batch)."""
+    it = iter(loader)
+    buf = []
+
+    def stage():
+        batch = next(it)
+        buf.append((_device_batch(batch, sharding), batch))
+
+    try:
+        for _ in range(max(depth, 1)):
+            stage()
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.pop(0)
+        try:
+            stage()
+        except StopIteration:
+            pass
+        yield out
 
 
 def train_one_epoch(
@@ -68,43 +105,64 @@ def train_one_epoch(
     console: Optional[ConsoleLogger] = None,
     batch_sharding=None,
     collect_embeddings: bool = False,
+    nan_check_every: int = 25,
 ):
+    """One training epoch with DEVICE-SIDE metric accumulation: the host
+    never reads back per-step values (a readback through the remote-TPU
+    relay costs ~30 ms RTT and would serialize with device compute); it
+    drains one small accumulator per epoch. Loss finiteness is probed every
+    ``nan_check_every`` steps via the accumulator's device flag (the
+    reference aborted per step, src/learn.py:110-112 — same failure story,
+    checkpoint-resume recovery, just batched). Per-step host sync only
+    happens in the interactive paths (console step logging, embedding
+    collection for figures)."""
     timer = StepTimer()
-    losses, all_preds, all_targets, all_emb = [], [], [], []
+    all_targets, all_emb = [], []
     loader.set_epoch(epoch)
     step = 0
     n_steps = len(loader)
+    acc = init_metrics_acc(head.n_classes)
+    sync_each_step = console is not None and console.enabled
     timer.start("data")
-    for batch in loader:
-        wav, lengths, speakers = _device_batch(batch, batch_sharding)
+    for (wav, lengths, speakers), batch in _staged_batches(loader, batch_sharding):
         timer.start("model")
         state, metrics = train_step(
             state, wav, lengths, speakers,
             model=model, head=head, optimizer=optimizer, frontend=frontend,
             augment=augment, renorm_head=renorm_head,
         )
-        loss = float(metrics["loss"])
-        timer.start("data")
-        if not math.isfinite(loss):
-            raise NonFiniteLossError(f"Loss is {loss} at epoch {epoch} step {step}")
-        losses.append(loss)
-        all_targets.extend(batch.speaker_ids.tolist())
-        if metrics["preds"] is not None:
-            all_preds.extend(np.asarray(metrics["preds"]).tolist())
+        acc = accumulate_metrics(acc, metrics["loss"], metrics["preds"], speakers)
+        step += 1
         if collect_embeddings:
             all_emb.append(np.asarray(metrics["embeddings"]))
-        step += 1
-        if console:
+            all_targets.extend(batch.speaker_ids.tolist())
+        if sync_each_step:
+            loss = float(metrics["loss"])
+            if not math.isfinite(loss):
+                raise NonFiniteLossError(
+                    f"Loss is {loss} at epoch {epoch} step {step}"
+                )
             console.log_step("train", epoch, total_epochs, step, n_steps, loss,
                              {"model": timer.totals.get("model", 0.0) / step})
+        elif nan_check_every and step % nan_check_every == 0 and bool(acc.nonfinite):
+            raise NonFiniteLossError(
+                f"Loss became non-finite by epoch {epoch} step {step}"
+            )
+        timer.start("data")
     timer.stop()
 
+    host_acc = jax.device_get(acc)
+    if bool(host_acc.nonfinite):
+        raise NonFiniteLossError(f"Loss became non-finite during epoch {epoch}")
     epoch_metrics: Dict[str, float] = {}
-    if all_preds:
-        epoch_metrics = get_train_val_metrics(all_targets, all_preds, prefix="train")
-    total_loss = float(np.sum(losses)) if losses else float("nan")
+    if int(host_acc.n_examples) > 0:
+        epoch_metrics = metrics_from_class_counts(
+            host_acc.tp, host_acc.pred_count, host_acc.true_count,
+            host_acc.correct, host_acc.n_examples, prefix="train",
+        )
+    total_loss = float(host_acc.loss_sum) if int(host_acc.steps) else float("nan")
     epoch_metrics["train/total_loss"] = total_loss
-    epoch_metrics["train/avg_loss"] = total_loss / max(len(losses), 1)
+    epoch_metrics["train/avg_loss"] = total_loss / max(int(host_acc.steps), 1)
     epoch_metrics.update(timer.epoch_metrics("train"))
     embeddings = np.concatenate(all_emb) if all_emb else None
     return state, epoch_metrics, (embeddings, all_targets)
@@ -124,31 +182,34 @@ def evaluate(
     collect_embeddings: bool = False,
     prefix: str = "val",
 ):
-    """No-grad mirror (reference evaluate, src/learn.py:313-406)."""
+    """No-grad mirror (reference evaluate, src/learn.py:313-406), with the
+    same device-side metric accumulation as :func:`train_one_epoch`."""
     timer = StepTimer()
-    losses, all_preds, all_targets, all_emb = [], [], [], []
+    all_targets, all_emb = [], []
     loader.set_epoch(0)
+    acc = init_metrics_acc(head.n_classes)
     timer.start("data")
-    for batch in loader:
-        wav, lengths, speakers = _device_batch(batch, batch_sharding)
+    for (wav, lengths, speakers), batch in _staged_batches(loader, batch_sharding):
         timer.start("model")
         out = eval_step(
             state, wav, lengths, speakers, model=model, head=head, frontend=frontend
         )
-        losses.append(float(out["loss"]))
-        timer.start("data")
-        all_targets.extend(batch.speaker_ids.tolist())
-        if out["preds"] is not None:
-            all_preds.extend(np.asarray(out["preds"]).tolist())
+        acc = accumulate_metrics(acc, out["loss"], out["preds"], speakers)
         if collect_embeddings:
             all_emb.append(np.asarray(out["embeddings"]))
+            all_targets.extend(batch.speaker_ids.tolist())
+        timer.start("data")
     timer.stop()
+    host_acc = jax.device_get(acc)
     metrics: Dict[str, float] = {}
-    if all_preds:
-        metrics = get_train_val_metrics(all_targets, all_preds, prefix=prefix)
-    total_loss = float(np.sum(losses)) if losses else float("nan")
+    if int(host_acc.n_examples) > 0:
+        metrics = metrics_from_class_counts(
+            host_acc.tp, host_acc.pred_count, host_acc.true_count,
+            host_acc.correct, host_acc.n_examples, prefix=prefix,
+        )
+    total_loss = float(host_acc.loss_sum) if int(host_acc.steps) else float("nan")
     metrics[f"{prefix}/total_loss"] = total_loss
-    metrics[f"{prefix}/avg_loss"] = total_loss / max(len(losses), 1)
+    metrics[f"{prefix}/avg_loss"] = total_loss / max(int(host_acc.steps), 1)
     metrics.update(timer.epoch_metrics(prefix))
     if console:
         console.log_epoch(prefix, epoch, total_epochs, metrics)
@@ -170,8 +231,8 @@ def run_verification(
     """Batched all-pairs verification (reference test, src/learn.py:409-459)."""
     embeddings, speakers = [], []
     loader.set_epoch(0)
-    for batch in loader:
-        wav, lengths, spk = _device_batch(batch)
+    for (wav, lengths, spk_dev), batch in _staged_batches(loader):
+        del spk_dev
         # masked=True: the reference scores SOLO (batch-1) embeddings
         # (src/learn.py:437); masked pooling makes a padded batched
         # embedding equal the utterance's solo embedding.
@@ -180,7 +241,7 @@ def run_verification(
             model=model, frontend=frontend, masked=True,
         )
         embeddings.append(np.asarray(emb))
-        speakers.extend(np.asarray(spk).tolist())
+        speakers.extend(batch.speaker_ids.tolist())
     embeddings = np.concatenate(embeddings)
     scores, labels = all_pairs_scores_labels(embeddings, speakers)
     metrics = get_test_metrics(

@@ -138,6 +138,33 @@ def get_train_val_metrics(
     return metrics
 
 
+def metrics_from_class_counts(
+    tp, pred_c, true_c, correct, total, prefix: Optional[str] = None
+) -> Dict[str, float]:
+    """:func:`get_train_val_metrics` from pre-accumulated per-class count
+    vectors (device-side epoch accumulation — no per-step host readback).
+    Classes appearing in neither targets nor predictions are excluded from
+    the macro means, matching sklearn's label-union behavior."""
+    tp = np.asarray(tp, np.float64)
+    pred_c = np.asarray(pred_c, np.float64)
+    true_c = np.asarray(true_c, np.float64)
+    present = (pred_c > 0) | (true_c > 0)
+    n_present = max(int(present.sum()), 1)
+    precision = np.where(pred_c > 0, tp / np.maximum(pred_c, 1), 0.0)
+    recall = np.where(true_c > 0, tp / np.maximum(true_c, 1), 0.0)
+    denom = precision + recall
+    f1 = np.where(denom > 0, 2 * precision * recall / np.maximum(denom, 1e-12), 0.0)
+    metrics = {
+        "accuracy": float(correct) / max(int(total), 1),
+        "precision": float(precision[present].sum() / n_present),
+        "recall": float(recall[present].sum() / n_present),
+        "f1": float(f1[present].sum() / n_present),
+    }
+    if prefix:
+        metrics = {f"{prefix}/{k}": v for k, v in metrics.items()}
+    return metrics
+
+
 def get_test_metrics(
     scores,
     labels,

@@ -30,6 +30,16 @@ from titanet_tpu.ops.augment import AugmentConfig, log_mel_specaugment
 from titanet_tpu.ops.frontend import FrontendConfig, log_mel_spectrogram
 
 
+def _dequantize_waveform(waveform: jax.Array) -> jax.Array:
+    """int16 PCM wire format -> float32 on device. The loader can ship
+    waveforms as int16 (``transport_dtype="int16"``) to halve host->device
+    transfer; audio sources are 16-bit PCM, so the quantization is the
+    source's own. Float inputs pass through unchanged."""
+    if jnp.issubdtype(waveform.dtype, jnp.integer):
+        return waveform.astype(jnp.float32) * (1.0 / 32768.0)
+    return waveform
+
+
 def _as_augment_config(augment) -> Optional[AugmentConfig]:
     """Normalize the static ``augment`` argument: AugmentConfig, or the
     legacy 5-tuple (freq_ratio, freq_n, time_ratio, time_n, prob) —
@@ -103,6 +113,7 @@ def train_step(
 ):
     """One fused wav->grads->update step. Returns (new_state, metrics)."""
     key, k_aug, k_drop = jax.random.split(state.key, 3)
+    waveform = _dequantize_waveform(waveform)
     aug = _as_augment_config(augment)
     if aug is not None:
         # full reference SpecAugment: per-example gated time stretch on the
@@ -170,7 +181,7 @@ def eval_step(
     masked: bool = False,
 ):
     """No-grad mirror of train_step (reference evaluate, src/learn.py:313-406)."""
-    mel, mask = log_mel_spectrogram(waveform, frontend, lengths=lengths)
+    mel, mask = log_mel_spectrogram(_dequantize_waveform(waveform), frontend, lengths=lengths)
     emb = model.apply(
         {"params": state.params["backbone"], "batch_stats": state.batch_stats},
         mel,
@@ -200,7 +211,7 @@ def embed_step(
 ):
     """Inference: wav -> unit-norm embeddings (reference inference-mode
     forward, src/models.py:332-333)."""
-    mel, mask = log_mel_spectrogram(waveform, frontend, lengths=lengths)
+    mel, mask = log_mel_spectrogram(_dequantize_waveform(waveform), frontend, lengths=lengths)
     emb = model.apply(
         {"params": params, "batch_stats": batch_stats},
         mel,
@@ -208,6 +219,68 @@ def embed_step(
         mask=mask if masked else None,
     )
     return l2_normalize(emb)
+
+
+class MetricsAcc(struct.PyTreeNode):
+    """Device-side epoch accumulator: per-step losses, finiteness and
+    classification counts stay on device; the host reads back ONE small
+    pytree per epoch (plus a periodic finiteness probe) instead of syncing
+    every step — a value readback through the remote-TPU relay costs
+    ~30 ms RTT, which would otherwise serialize with device compute."""
+
+    loss_sum: jax.Array  # f32 scalar
+    steps: jax.Array  # int32
+    nonfinite: jax.Array  # bool: any step's loss was non-finite
+    correct: jax.Array  # int32
+    n_examples: jax.Array  # int32
+    tp: jax.Array  # int32 [C] true positives per class
+    pred_count: jax.Array  # int32 [C] predictions per class
+    true_count: jax.Array  # int32 [C] targets per class
+
+
+def init_metrics_acc(n_classes: int) -> MetricsAcc:
+    # distinct buffers: the accumulator is donated each step, and donating
+    # one buffer aliased into several fields is an error
+    def zc():
+        return jnp.zeros((max(n_classes, 1),), jnp.int32)
+
+    return MetricsAcc(
+        loss_sum=jnp.zeros((), jnp.float32),
+        steps=jnp.zeros((), jnp.int32),
+        nonfinite=jnp.zeros((), jnp.bool_),
+        correct=jnp.zeros((), jnp.int32),
+        n_examples=jnp.zeros((), jnp.int32),
+        tp=zc(),
+        pred_count=zc(),
+        true_count=zc(),
+    )
+
+
+@functools.partial(jax.jit, donate_argnames=("acc",))
+def accumulate_metrics(
+    acc: MetricsAcc,
+    loss: jax.Array,
+    preds: Optional[jax.Array],
+    targets: jax.Array,
+) -> MetricsAcc:
+    """Fold one step's (loss, preds, targets) into the accumulator."""
+    n_classes = acc.tp.shape[0]
+    new = acc.replace(
+        loss_sum=acc.loss_sum + loss.astype(jnp.float32),
+        steps=acc.steps + 1,
+        nonfinite=acc.nonfinite | ~jnp.isfinite(loss),
+    )
+    if preds is None:
+        return new
+    t1 = jax.nn.one_hot(targets, n_classes, dtype=jnp.int32)
+    p1 = jax.nn.one_hot(preds, n_classes, dtype=jnp.int32)
+    return new.replace(
+        correct=new.correct + (preds == targets).sum().astype(jnp.int32),
+        n_examples=new.n_examples + targets.shape[0],
+        tp=new.tp + (t1 * p1).sum(axis=0),
+        pred_count=new.pred_count + p1.sum(axis=0),
+        true_count=new.true_count + t1.sum(axis=0),
+    )
 
 
 def make_optimizer(
