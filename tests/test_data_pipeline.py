@@ -214,3 +214,48 @@ def test_int16_transport_roundtrip():
     )
     # log-domain, L2-normalized: quantization noise stays tiny
     assert float(jnp.max(jnp.abs(mel16 - mel32))) < 5e-3
+
+
+def test_sharded_loader_partitions_batches():
+    """Two shards deal whole batches round-robin: interleaving their batch
+    sequences reproduces the unsharded epoch prefix; lengths are equal and
+    the cosine-schedule step count (len) matches what iteration yields."""
+    from titanet_tpu.data.dataset import SyntheticSpeakerDataset
+    from titanet_tpu.data.loader import ChunkConfig, DataLoader
+
+    ds = SyntheticSpeakerDataset(n_speakers=5, utterances_per_speaker=5)  # 25
+    kw = dict(batch_size=4, shuffle=True, seed=3,
+              chunk=ChunkConfig(enabled=False), prefetch=0)
+
+    def batch_ids(loader, epoch=2):
+        loader.set_epoch(epoch)
+        return [b.speaker_ids.tolist() for b in loader]
+
+    full = DataLoader(ds, **kw)
+    s0 = DataLoader(ds, shard_id=0, num_shards=2, **kw)
+    s1 = DataLoader(ds, shard_id=1, num_shards=2, **kw)
+    full_b, b0, b1 = batch_ids(full), batch_ids(s0), batch_ids(s1)
+    assert len(b0) == len(b1) == len(s0) == len(s1) == 3  # 25//4//2
+    interleaved = [x for pair in zip(b0, b1) for x in pair]
+    assert interleaved == full_b[: len(interleaved)]
+
+
+def test_sharded_balanced_loader_keeps_nxm_structure():
+    """Sharding must not break GE2E's N speakers x M utterances batches."""
+    from titanet_tpu.data.dataset import SyntheticSpeakerDataset
+    from titanet_tpu.data.loader import ChunkConfig, DataLoader
+
+    ds = SyntheticSpeakerDataset(n_speakers=8, utterances_per_speaker=6)  # 48
+    n_spk, m_utt = 4, 3
+    kw = dict(batch_size=n_spk * m_utt, balanced=(n_spk, m_utt), seed=5,
+              chunk=ChunkConfig(enabled=False), prefetch=0)
+    for shard in (0, 1):
+        loader = DataLoader(ds, shard_id=shard, num_shards=2, **kw)
+        loader.set_epoch(1)
+        n_seen = 0
+        for batch in loader:
+            ids = batch.speaker_ids.reshape(n_spk, m_utt)
+            # each group of m_utt rows is one speaker
+            assert all(len(set(row.tolist())) == 1 for row in ids)
+            n_seen += 1
+        assert n_seen == len(loader) == (48 // (n_spk * m_utt)) // 2

@@ -137,12 +137,16 @@ def train(cfg: Config) -> None:
     balanced = None
     if cfg.training.balanced_speakers and cfg.training.balanced_utterances:
         balanced = (cfg.training.balanced_speakers, cfg.training.balanced_utterances)
+    # Multi-host: each process loads a disjoint round-robin slice of the
+    # epoch's batches (single-process runs see every batch). The schedule
+    # length below uses len(train_loader), which is already per-shard.
     train_loader = DataLoader(
         train_ds, batch_size=cfg.training.batch_size, shuffle=True,
         chunk=chunk, speed=speed, reverb=reverb, balanced=balanced,
         sample_rate=cfg.audio.sample_rate, seed=cfg.generic.seed,
         num_workers=max(cfg.generic.workers, 0),
         transport_dtype=cfg.training.transport_dtype,
+        shard_id=jax.process_index(), num_shards=jax.process_count(),
     )
     val_loader = DataLoader(
         val_ds, batch_size=cfg.validation.batch_size, shuffle=False,

@@ -144,8 +144,17 @@ class DataLoader:
         self._rir_cache: dict = {}
 
     def __len__(self):
+        """Steps per epoch FOR THIS SHARD (drives the cosine schedule
+        length). With ``num_shards > 1``, whole batches are dealt
+        round-robin and every shard gets the same count (remainder batches
+        dropped) so multi-host collectives stay in lockstep."""
         n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        n_full = n // self.batch_size
+        if self.num_shards > 1:
+            return n_full // self.num_shards
+        if self.drop_last or self.balanced is not None:
+            return n_full
+        return -(-n // self.batch_size)
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -259,15 +268,25 @@ class DataLoader:
             order = np.arange(len(self.dataset))
             if self.shuffle:
                 rng.shuffle(order)
-        if self.num_shards > 1:
-            order = order[self.shard_id :: self.num_shards]
         n_full = len(order) // self.batch_size
         tail = len(order) - n_full * self.batch_size
+        if self.num_shards > 1:
+            # shard WHOLE batches round-robin AFTER composition: balanced
+            # (N speakers x M utterances) batches stay intact, and every
+            # shard sees the same step count (collectives in lockstep)
+            per_shard = n_full // self.num_shards
+            my_batches = [
+                self.shard_id + k * self.num_shards for k in range(per_shard)
+            ]
+        else:
+            my_batches = list(range(n_full))
+            if not self.drop_last and tail:
+                my_batches.append(n_full)
 
         def load(args):
             pos, idx = args
-            # per-example RNG keyed by epoch position: deterministic AND
-            # independent of decode order (enables parallel workers)
+            # per-example RNG keyed by GLOBAL epoch position: deterministic
+            # and independent of decode order and of the shard count
             ex_rng = np.random.default_rng((self.seed, self.epoch, int(pos)))
             return self._load_one(int(idx), ex_rng)
 
@@ -277,7 +296,7 @@ class DataLoader:
 
             pool = ThreadPoolExecutor(max_workers=self.num_workers)
         try:
-            for b in range(n_full + (0 if self.drop_last or tail == 0 else 1)):
+            for b in my_batches:
                 idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
                 jobs = [(b * self.batch_size + j, i) for j, i in enumerate(idxs)]
                 if pool is not None:
