@@ -259,3 +259,35 @@ def test_sharded_balanced_loader_keeps_nxm_structure():
             assert all(len(set(row.tolist())) == 1 for row in ids)
             n_seen += 1
         assert n_seen == len(loader) == (48 // (n_spk * m_utt)) // 2
+
+
+def test_subset_honors_full_speaker_dataset_protocol():
+    """Views re-derive speakers_utterances in local indices: splits,
+    sampling, info and duration stats all work on a Subset, and the
+    speaker-id mapping stays the parent's."""
+    from titanet_tpu.data.dataset import Subset, SyntheticSpeakerDataset
+
+    full = SyntheticSpeakerDataset(n_speakers=4, utterances_per_speaker=6)
+    # a view holding utterances 1..4 of speakers 1 and 3
+    picked = [i for s in (1, 3) for i in full.speakers_utterances[s][1:5]]
+    view = Subset(full, picked)
+    assert len(view) == 8
+    assert view.speakers == [1, 3]
+    assert view.speakers_to_id is full.speakers_to_id
+    # local indices map back to the right parent utterances
+    for spk, utts in view.speakers_utterances.items():
+        for local in utts:
+            assert view[local]["speaker"] == spk
+    # splits operate on local indices and stay disjoint
+    train_utt, val_utt, test_utt = view.get_splits(
+        val=True, val_utterances_per_speaker=1,
+        test=True, test_speakers=1, test_utterances_per_speaker=1,
+    )
+    assert set(train_utt) | set(val_utt) | set(test_utt) <= set(range(8))
+    assert not set(train_utt) & set(val_utt)
+    utts, spks = view.get_random_utterances(2, 3, seed=0)
+    assert len(utts) == 6 and set(spks) <= {1, 3}
+    info = view.info(hours=False)
+    assert info["num_utterances"] == 8 and info["num_speakers"] == 2
+    durations = view.get_durations_per_speaker(hours=False)
+    assert set(durations) == {1, 3} and all(v > 0 for v in durations.values())

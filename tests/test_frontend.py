@@ -9,6 +9,7 @@ matching the reference collation.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from titanet_tpu.ops.frontend import (
@@ -132,3 +133,57 @@ def test_log_mel_shapes_and_padding_semantics():
     np.testing.assert_allclose(
         np.asarray(out)[1, :n2], np.asarray(solo)[0], rtol=1e-4, atol=1e-5
     )
+
+
+def test_short_row_padded_batch_matches_solo_torch_stft():
+    """Per-row lengths down to n_fft//2 + 1 (torch.stft's own floor for
+    center=True reflect padding) in a padded batch must match each row's
+    SOLO torch.stft. Rows <= n_fft//2 raise in torch; ours produce a
+    clamped-reflection superset and are excluded from the parity surface
+    (see frontend._padded_buffer)."""
+    rng = np.random.default_rng(11)
+    t_batch = 1600
+    lengths = [1600, 400, 290, 257]  # 257 = n_fft//2 + 1: torch's minimum
+    batch = np.zeros((len(lengths), t_batch), np.float32)
+    rows = []
+    for i, ln in enumerate(lengths):
+        row = (rng.standard_normal(ln) * 0.3).astype(np.float32)
+        rows.append(row)
+        batch[i, :ln] = row
+
+    ours = np.asarray(
+        spectrogram(
+            jnp.asarray(batch), CFG, power=2.0,
+            lengths=jnp.asarray(lengths, jnp.int32),
+        )
+    )  # [B, F, bins]
+    for i, (ln, row) in enumerate(zip(lengths, rows)):
+        ref = torch.stft(
+            torch.from_numpy(row)[None],
+            n_fft=CFG.n_fft, hop_length=CFG.hop_length,
+            win_length=CFG.win_length,
+            window=torch.hann_window(CFG.win_length),
+            center=True, pad_mode="reflect", normalized=False,
+            onesided=True, return_complex=True,
+        )
+        ref_power = ref.abs().pow(2).numpy()[0]  # [bins, F_solo]
+        n_frames = ref_power.shape[-1]
+        assert n_frames == 1 + ln // CFG.hop_length
+        np.testing.assert_allclose(
+            ours[i, :n_frames].T, ref_power, rtol=1e-3, atol=1e-5,
+            err_msg=f"row {i} length {ln}",
+        )
+
+
+def test_torch_stft_rejects_rows_at_or_below_pad():
+    """Documents the reference's own floor: torch.stft(center=True) errors
+    for utterances <= n_fft//2 samples, so such rows are outside the parity
+    surface (the reference pipeline would crash on them)."""
+    row = torch.zeros(1, CFG.n_fft // 2)
+    with pytest.raises(RuntimeError):
+        torch.stft(
+            row, n_fft=CFG.n_fft, hop_length=CFG.hop_length,
+            win_length=CFG.win_length,
+            window=torch.hann_window(CFG.win_length),
+            center=True, pad_mode="reflect", return_complex=True,
+        )

@@ -156,14 +156,25 @@ class SpeakerDataset:
 
 
 class Subset(SpeakerDataset):
-    """Index-remapped view of a dataset (keeps speaker-id mapping of the
-    parent, like torch.utils.data.Subset usage at src/datasets.py:231-238)."""
+    """Index-remapped view of a dataset (torch.utils.data.Subset role,
+    reference usage src/datasets.py:231-238) that honors the FULL
+    SpeakerDataset protocol: ``speakers_utterances`` is re-derived in view-
+    local indices (so ``get_splits``/``get_random_utterances``/``info``/
+    ``get_durations_per_speaker`` work on views), while the speaker<->id
+    maps stay the PARENT's so class labels are consistent across splits."""
 
     def __init__(self, parent: SpeakerDataset, indices: Sequence[int]):
         self.parent = parent
         self.indices = list(indices)
-        self.speakers_utterances = None  # views don't re-derive speaker maps
-        self.speakers = parent.speakers
+        positions = defaultdict(list)  # parent index -> view positions
+        for local, real in enumerate(self.indices):
+            positions[real].append(local)
+        self.speakers_utterances = {}
+        for spk, utts in parent.speakers_utterances.items():
+            local_utts = [loc for real in utts for loc in positions.get(real, ())]
+            if local_utts:
+                self.speakers_utterances[spk] = local_utts
+        self.speakers = list(self.speakers_utterances.keys())
         self.speakers_to_id = parent.speakers_to_id
         self.id_to_speakers = parent.id_to_speakers
 

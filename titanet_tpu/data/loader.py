@@ -229,20 +229,14 @@ class DataLoader:
         return Batch(batch, lengths, np.asarray(speakers, np.int32))
 
     def _speaker_map(self) -> dict:
-        """{speaker_id: [dataset-local indices]} without decoding audio."""
+        """{speaker_id: [dataset-local indices]} without decoding audio.
+        Subset views carry re-derived local ``speakers_utterances``, so the
+        SpeakerDataset protocol covers every dataset uniformly."""
         ds = self.dataset
-        if hasattr(ds, "indices") and hasattr(ds, "parent"):
-            parent, local_of = ds.parent, {r: i for i, r in enumerate(ds.indices)}
-        else:
-            parent, local_of = ds, None
-        by_speaker: dict = {}
-        for spk, utts in parent.speakers_utterances.items():
-            sid = parent.speakers_to_id[spk]
-            for real in utts:
-                local = real if local_of is None else local_of.get(real)
-                if local is not None:
-                    by_speaker.setdefault(sid, []).append(local)
-        return by_speaker
+        return {
+            ds.speakers_to_id[spk]: list(utts)
+            for spk, utts in ds.speakers_utterances.items()
+        }
 
     def _balanced_order(self, rng: np.random.Generator) -> np.ndarray:
         """N-speakers x M-utterances batch composition."""

@@ -134,8 +134,12 @@ def _padded_buffer(
     def fix_row(row_buf, row_x, ln):
         start = jnp.clip(ln - 1 - pad, 0, t - pad)
         tail = jnp.flip(jax.lax.dynamic_slice(row_x, (start,), (pad,)), axis=-1)
-        # when ln-1-pad clipped at 0, reflect indices also clip (degenerate
-        # ultra-short utterances), matching jnp.pad's behavior closely enough
+        # Exact torch.stft reflection for every length torch itself accepts
+        # (length >= pad + 1; tested down to that floor in
+        # tests/test_frontend.py::test_short_row_padded_batch_matches_solo_torch_stft).
+        # For length <= pad — where torch.stft ERRORS outright — the clip
+        # yields a clamped reflection instead of crashing (graceful superset,
+        # outside the parity surface).
         return jax.lax.dynamic_update_slice(row_buf, tail, (pad + ln,))
 
     return jax.vmap(fix_row)(buf, x, lengths.astype(jnp.int32))
