@@ -1,0 +1,153 @@
+"""Corpus acquisition tests: the full download/extract/convert pipelines
+run against local file:// URLs (this environment is egress-free), mirroring
+the reference's auto-download paths (src/datasets.py:303-306, 479-541;
+src/transforms.py:255-268)."""
+
+import os
+import shutil
+import tarfile
+import wave
+import zipfile
+from pathlib import Path
+
+import numpy as np
+
+from flac_fixture import encode_flac
+from titanet_tpu.data.acquire import (
+    convert_m4a_tree,
+    fetch_librispeech,
+    fetch_rir_corpus,
+    fetch_voxceleb2,
+    reassemble_parts,
+)
+from titanet_tpu.data.dataset import LibriSpeechDataset, VoxCelebDataset
+
+
+def _write_wav(path, n=800, sr=16000, seed=0):
+    rng = np.random.default_rng(seed)
+    pcm = (rng.standard_normal(n) * 3000).astype(np.int16)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    return pcm
+
+
+def _write_flac(path, n=1600, sr=16000, seed=0):
+    rng = np.random.default_rng(seed)
+    pcm = (rng.standard_normal((1, n)) * 3000).astype(np.int32)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(encode_flac(pcm, sample_rate=sr))
+
+
+def test_librispeech_download_via_file_url(tmp_path):
+    # build a tiny LibriSpeech-layout corpus and tar.gz it
+    src = tmp_path / "src"
+    for spk, chap, utt in ((19, 198, 0), (19, 198, 1), (26, 495, 0)):
+        _write_flac(
+            src / "LibriSpeech" / "train-clean-100" / str(spk) / str(chap)
+            / f"{spk}-{chap}-{utt:04d}.flac",
+            seed=spk + utt,
+        )
+    archive = tmp_path / "train-clean-100.tar.gz"
+    with tarfile.open(archive, "w:gz") as tar:
+        tar.add(src / "LibriSpeech", arcname="LibriSpeech")
+
+    root = tmp_path / "data"
+    ds = LibriSpeechDataset(
+        str(root), download=True, source_url=f"file://{archive}"
+    )
+    assert len(ds) == 3
+    assert ds.get_num_speakers() == 2
+    wav, sr, speaker = ds.get_sample(0)
+    assert sr == 16000 and wav.shape[-1] == 1600 and speaker == 19
+    assert not (root / "train-clean-100.tar.gz").exists()  # archive removed
+    # idempotent: a second call reuses the extracted corpus
+    assert fetch_librispeech(str(root)) == str(
+        root / "LibriSpeech" / "train-clean-100"
+    )
+
+
+def test_fetch_rir_corpus_via_file_url(tmp_path):
+    src = tmp_path / "rir_src"
+    _write_wav(src / "RIRS_NOISES" / "simulated_rirs" / "smallroom" / "rir1.wav")
+    archive = tmp_path / "rirs_noises.zip"
+    with zipfile.ZipFile(archive, "w") as z:
+        for p in Path(src).rglob("*.wav"):
+            z.write(p, p.relative_to(src))
+    dest = tmp_path / "rirs"
+    fetch_rir_corpus(str(dest), source_url=f"file://{archive}")
+    found = list(Path(dest).rglob("*.wav"))
+    assert len(found) == 1
+    assert not (dest / "rirs_noises.zip").exists()
+
+
+def test_reassemble_parts_roundtrip(tmp_path):
+    blob = os.urandom(100_000)
+    parts = []
+    for i in range(3):
+        p = tmp_path / f"part{i}"
+        p.write_bytes(blob[i * 40_000 : (i + 1) * 40_000])
+        parts.append(str(p))
+    out = reassemble_parts(parts, str(tmp_path / "whole"))
+    assert Path(out).read_bytes() == blob
+
+
+def test_voxceleb2_pipeline_via_file_urls(tmp_path):
+    """Multi-part download -> reassembly -> extraction -> m4a->wav via a
+    pluggable transcoder -> aac/ moved to wav/ -> VoxCelebDataset loads."""
+    # an "aac" tree with fake .m4a payloads
+    src = tmp_path / "vox_src"
+    utts = [("id00001", "vid1", "00001"), ("id00001", "vid1", "00002"),
+            ("id00002", "vid9", "00001")]
+    for spk, vid, utt in utts:
+        p = src / "aac" / spk / vid / f"{utt}.m4a"
+        os.makedirs(p.parent, exist_ok=True)
+        p.write_bytes(b"fake-aac-" + utt.encode())
+    dev_zip = tmp_path / "vox2_dev_aac.zip"
+    with zipfile.ZipFile(dev_zip, "w") as z:
+        for p in Path(src).rglob("*.m4a"):
+            z.write(p, p.relative_to(src))
+    # split into 3 authed "parts" served over file://
+    blob = dev_zip.read_bytes()
+    step = -(-len(blob) // 3)
+    part_urls = []
+    for i in range(3):
+        part = tmp_path / f"vox2_dev_aac_part a{chr(97 + i)}".replace(" ", "")
+        part.write_bytes(blob[i * step : (i + 1) * step])
+        part_urls.append(f"file://{part}")
+
+    def transcode(src_path, dst_path, sample_rate):
+        assert src_path.endswith(".m4a")
+        _write_wav(dst_path, n=640, sr=sample_rate)
+
+    root = tmp_path / "vox2"
+    wav_dir = fetch_voxceleb2(
+        str(root), dev_urls=part_urls, test_url=None, test_sha256=None,
+        username="user", password="pass", transcode=transcode, progress=False,
+    )
+    wavs = sorted(Path(wav_dir).rglob("*.wav"))
+    assert len(wavs) == 3
+    assert not list(Path(root).rglob("*.m4a"))  # originals removed
+    ds = VoxCelebDataset(str(root))
+    assert len(ds) == 3 and ds.get_num_speakers() == 2
+    wav, sr, speaker = ds.get_sample(0)
+    assert sr == 16000 and speaker == "id00001"
+
+
+def test_convert_m4a_tree_counts_and_removes(tmp_path):
+    (tmp_path / "a.m4a").write_bytes(b"x")
+    (tmp_path / "b.m4a").write_bytes(b"y")
+    (tmp_path / "keep.wav").write_bytes(b"z")
+
+    def transcode(src, dst, sr):
+        shutil.copy(src, dst)
+
+    n = convert_m4a_tree(str(tmp_path), ["a.m4a", "b.m4a", "keep.wav"],
+                         transcode=transcode)
+    assert n == 2
+    assert not (tmp_path / "a.m4a").exists()
+    assert (tmp_path / "a.wav").exists() and (tmp_path / "keep.wav").exists()

@@ -126,9 +126,12 @@ def train(cfg: Config) -> None:
     if "reverb" in enabled_augs:
         from pathlib import Path
 
-        rir_paths = tuple(
-            str(p) for p in Path(cfg.augmentation.rir.corpora_path).rglob("*.wav")
-        )
+        rir_root = cfg.augmentation.rir.corpora_path
+        if cfg.augmentation.rir.download and not list(Path(rir_root).rglob("*.wav")):
+            from titanet_tpu.data.acquire import fetch_rir_corpus
+
+            fetch_rir_corpus(rir_root)
+        rir_paths = tuple(str(p) for p in Path(rir_root).rglob("*.wav"))
     reverb = ReverbConfig(
         rir_paths=rir_paths,
         probability=cfg.augmentation.probability,

@@ -236,6 +236,9 @@ class AudioConfig:
 @dataclass
 class RirConfig:
     corpora_path: str = "./data/rirs"
+    # fetch the OpenSLR-28 corpus when corpora_path has no .wav files
+    # (reference Reverb auto-download, src/transforms.py:255-268)
+    download: bool = False
 
 
 @_register

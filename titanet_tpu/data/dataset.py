@@ -12,8 +12,9 @@ Differences by design:
   (``titanet_tpu.ops.frontend``), not per-example on the host per epoch
   (the reference recomputed STFT+mel on CPU every epoch,
   src/datasets.py:283-294 — SURVEY.md §3.2 hot loop (b)),
-- no auto-download (this environment is egress-free); ``prepare()`` hooks
-  document the expected on-disk layout instead,
+- auto-download is opt-in (``download=True``) via
+  :mod:`titanet_tpu.data.acquire` (stdlib urllib; this environment is
+  egress-free, so tests exercise the pipelines over ``file://`` URLs),
 - verification pairs are returned as (indices, labels) for batched scoring
   (one matmul) rather than materialized O(N^2) example pairs
   (src/datasets.py:165-183).
@@ -196,13 +197,26 @@ class LibriSpeechDataset(SpeakerDataset):
     <speaker>-<chapter>-<utt>.flac`` (reference src/datasets.py:297-332,
     torchaudio LIBRISPEECH conventions)."""
 
-    def __init__(self, root: str, url: str = "train-clean-100"):
+    def __init__(
+        self,
+        root: str,
+        url: str = "train-clean-100",
+        download: bool = False,
+        source_url: Optional[str] = None,
+    ):
         self._path = os.path.join(root, "LibriSpeech", url)
         if not os.path.isdir(self._path):
-            raise FileNotFoundError(
-                f"LibriSpeech not found at {self._path}. This environment has "
-                "no network egress; place the extracted corpus there."
-            )
+            if download:
+                # reference auto-download semantics (src/datasets.py:303-306)
+                from titanet_tpu.data.acquire import fetch_librispeech
+
+                fetch_librispeech(root, subset=url, source_url=source_url)
+            else:
+                raise FileNotFoundError(
+                    f"LibriSpeech not found at {self._path}. Pass "
+                    "download=True to fetch it, or place the extracted "
+                    "corpus there."
+                )
         self._walker = sorted(
             str(p) for p in Path(self._path).rglob("*.flac")
         )
@@ -231,10 +245,25 @@ class VCTKDataset(SpeakerDataset):
     """VCTK 0.92 layout: ``root/wav48_silence_trimmed/<speaker>/
     <speaker>_<utt>_<mic>.flac`` (reference src/datasets.py:335-365)."""
 
-    def __init__(self, root: str, mic_id: str = "mic2"):
+    def __init__(
+        self,
+        root: str,
+        mic_id: str = "mic2",
+        download: bool = False,
+        source_url: Optional[str] = None,
+    ):
         self._audio_dir = os.path.join(root, "wav48_silence_trimmed")
         if not os.path.isdir(self._audio_dir):
-            raise FileNotFoundError(f"VCTK not found at {self._audio_dir}")
+            if download:
+                # reference auto-download semantics (src/datasets.py:340-343)
+                from titanet_tpu.data.acquire import fetch_vctk
+
+                fetch_vctk(root, source_url=source_url)
+            else:
+                raise FileNotFoundError(
+                    f"VCTK not found at {self._audio_dir}. Pass download=True "
+                    "to fetch it."
+                )
         self._mic_id = mic_id
         self._walker = sorted(
             str(p)
@@ -263,10 +292,21 @@ class VoxCelebDataset(SpeakerDataset):
     """VoxCeleb1/2 layout: ``root/wav/<speaker>/<video>/<utt>.wav``
     (reference src/datasets.py:368-399, 568-597)."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, download: bool = False, **acquire_kwargs):
         self._path = os.path.join(root, "wav")
         if not os.path.isdir(self._path):
-            raise FileNotFoundError(f"VoxCeleb not found at {self._path}")
+            if download:
+                # VoxCeleb2 acquisition: multi-part authed download + zip
+                # reassembly + m4a->wav (reference src/datasets.py:479-541);
+                # pass transcode=/dev_urls=/credentials via acquire_kwargs
+                from titanet_tpu.data.acquire import fetch_voxceleb2
+
+                fetch_voxceleb2(root, **acquire_kwargs)
+            else:
+                raise FileNotFoundError(
+                    f"VoxCeleb not found at {self._path}. Pass download=True "
+                    "(VoxCeleb2) or place .wav files under root/wav/."
+                )
         self._walker = sorted(str(p) for p in Path(self._path).rglob("*.wav"))
         super().__init__()
 

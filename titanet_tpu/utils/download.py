@@ -59,7 +59,15 @@ def download_url_to_file(
 
 
 def extract_archive(path: str, dest: Optional[str] = None) -> str:
-    """Unpack zip/tar archives (reference used torchaudio's extract_archive)."""
+    """Unpack zip/tar archives (reference used torchaudio's extract_archive).
+    Tar members are sanitized with the "data" filter (no absolute paths,
+    no traversal)."""
     dest = dest or os.path.dirname(os.path.abspath(path))
+    if any(path.endswith(s) for s in (".tar", ".tar.gz", ".tgz", ".tar.bz2")):
+        import tarfile
+
+        with tarfile.open(path) as tar:
+            tar.extractall(dest, filter="data")
+        return dest
     shutil.unpack_archive(path, dest)
     return dest
