@@ -1,0 +1,113 @@
+"""Discriminative EER benchmark runner (VERDICT r1 item 5).
+
+Runs the BASELINE.json model/loss configs (bench2: TitaNet-S CE, bench3:
+TitaNet-S Arc, bench4: TitaNet-M full aug) smoke-scale on the HARD synthetic
+corpus (64 confusable speakers: shared formant centers +-150 Hz, overlapping
+pitch, noise, per-utterance reverb — configs/bench5_hard_synth_eer.yml), the
+CE config over several seeds for seed-to-seed spread. Records test EER /
+minDCF per run into RESULTS.md + summary.json.
+
+Runs serially (only one process may hold the TPU):
+
+    python docs/eer_bench/run_eer_bench.py
+"""
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, REPO)
+OUT_DIR = os.path.dirname(os.path.abspath(__file__))
+CKPT_ROOT = os.path.join(REPO, "checkpoints", "eer_bench")
+
+RUNS = [
+    # (run_name, overrides)
+    ("bench2_ce_seed42", {"training.loss": "ce", "generic.seed": 42}),
+    ("bench2_ce_seed43", {"training.loss": "ce", "generic.seed": 43}),
+    ("bench2_ce_seed44", {"training.loss": "ce", "generic.seed": 44}),
+    ("bench3_arc_seed42", {"training.loss": "arc", "generic.seed": 42}),
+    (
+        "bench4_m_fullaug_seed42",
+        {
+            "training.loss": "arc",
+            "generic.seed": 42,
+            "titanet.model_size": "m",
+            "titanet.n_mega_blocks": None,
+            # reverb needs an RIR corpus (no egress) -> speed+specaugment only
+            "augmentation.enable": ["chunk", "specaugment", "speed"],
+        },
+    ),
+]
+
+
+def run_one(name, overrides):
+    from titanet_tpu.cli import train
+    from titanet_tpu.config import load_config
+
+    overrides = dict(overrides)
+    overrides["training.run_name"] = name
+    cfg = load_config(
+        os.path.join(REPO, "configs", "bench5_hard_synth_eer.yml"), overrides
+    )
+    train(cfg)
+    metrics_path = os.path.join(CKPT_ROOT, name, "metrics.jsonl")
+    test = {}
+    with open(metrics_path) as f:
+        for line in f:
+            row = json.loads(line)
+            if "test/eer" in row:
+                test = row
+    return {"run": name, "eer": test.get("test/eer"),
+            "mindcf": test.get("test/mindcf"), **overrides}
+
+
+def main():
+    results = []
+    for name, overrides in RUNS:
+        if os.path.exists(os.path.join(CKPT_ROOT, name, "metrics.jsonl")):
+            print(f"[skip] {name} already ran")
+        print(f"[run] {name}")
+        results.append(run_one(name, overrides))
+        print(json.dumps(results[-1]))
+        with open(os.path.join(OUT_DIR, "summary.json"), "w") as f:
+            json.dump(results, f, indent=2)
+
+    ce = [r["eer"] for r in results if r["run"].startswith("bench2")]
+    import numpy as np
+
+    lines = [
+        "# Discriminative EER benchmark (hard synthetic corpus)",
+        "",
+        "Corpus: 64 speakers x 30 utterances, shared formant centers with",
+        "+-150 Hz per-speaker offsets, pitch 110-200 Hz with 10% per-utterance",
+        "jitter, additive noise 0.05, per-utterance reverb p=0.5",
+        "(`configs/bench5_hard_synth_eer.yml`). Training: 40 epochs, B=64,",
+        "bf16, chunk+SpecAugment, TPU v5e (one chip). Test: 10 speakers x 10",
+        "utterances, all-pairs cosine protocol (reference src/learn.py:409-459).",
+        "",
+        "| run | loss | model | seed | EER | minDCF |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in results:
+        lines.append(
+            f"| {r['run']} | {r['training.loss']} | "
+            f"{r.get('titanet.model_size', 's')} | {r['generic.seed']} | "
+            f"{r['eer']:.3f} | {r['mindcf']:.3f} |"
+        )
+    if len(ce) > 1:
+        lines += [
+            "",
+            f"CE seed-to-seed: mean EER {np.mean(ce):.3f}, "
+            f"std {np.std(ce):.3f} (n={len(ce)}).",
+            "",
+            "A nonzero, stable EER band — unlike the easy corpus's 0.0",
+            "ceiling — so verification-quality regressions are detectable.",
+        ]
+    with open(os.path.join(OUT_DIR, "RESULTS.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,405 @@
+"""Single source of truth for the demo notebook.
+
+Generates BOTH ``examples/titanet_tpu.ipynb`` (the counterpart of the
+reference's 118-cell ``titanet.ipynb``: EDA, per-transform demos, model
+inspection, training, pretrained import, embedding visualization) and
+``examples/titanet_tpu_notebook.py`` — a straight-line export of every code
+cell, so the whole notebook is CI-able (``FAST=1`` shrinks the training
+cells; tests run it on the virtual CPU mesh, and it runs as-is on the TPU).
+
+    python examples/build_notebook.py
+"""
+
+import json
+import os
+
+CELLS = [
+    ("md", """\
+# titanet_tpu — interactive walkthrough
+
+The notebook-equivalent of the reference's `titanet.ipynb` (118 cells:
+Colab bootstrap, LibriSpeech EDA, transform demos, model inspection,
+training, pretrained inference + visualization), rebuilt on the TPU-native
+stack. Everything below runs without downloaded data (synthetic corpus);
+swap in `LibriSpeechDataset("./data")` wherever noted for the real thing.
+
+Sections: 1. EDA · 2. Frontend · 3. Augmentations · 4. Models · 5. Losses ·
+6. Training · 7. Discriminative EER benchmark · 8. Pretrained checkpoints ·
+9. Embeddings + verification · 10. Multi-chip"""),
+    ("code", """\
+import os, sys
+sys.path.insert(0, os.path.abspath(os.path.join(os.getcwd(), "..")))
+if os.path.basename(os.getcwd()) != "examples":
+    sys.path.insert(0, os.path.abspath(os.getcwd()))
+FAST = bool(int(os.environ.get("FAST", "0")))  # FAST=1: CI-scale cells
+
+import jax, jax.numpy as jnp, numpy as np
+import matplotlib
+matplotlib.use("Agg", force=False)
+import matplotlib.pyplot as plt
+print("devices:", jax.devices())"""),
+
+    # ----------------------------------------------------------------- EDA
+    ("md", """\
+## 1. Dataset EDA
+
+The `SpeakerDataset` protocol (reference `src/datasets.py:116-294`) exposes
+speaker maps, deterministic splits, duration stats and sampling on every
+backend — LibriSpeech / VCTK / VoxCeleb1/2 on disk, or the procedural
+synthetic corpus (no IO)."""),
+    ("code", """\
+from titanet_tpu.data import SyntheticSpeakerDataset, LibriSpeechDataset
+
+ds = SyntheticSpeakerDataset(n_speakers=10, utterances_per_speaker=10)
+# ds = LibriSpeechDataset("./data")                      # real corpus
+# ds = LibriSpeechDataset("./data", download=True)       # fetch if missing
+ds.info()"""),
+    ("code", """\
+# duration histogram (reference notebook EDA cells)
+durations = list(ds.get_durations().values())
+plt.figure(figsize=(8, 3))
+plt.hist(durations, bins=30)
+plt.xlabel("utterance duration [s]"); plt.ylabel("count"); plt.title("Durations")
+plt.show()
+print(f"{len(durations)} utterances, {sum(durations)/60:.1f} minutes total")"""),
+    ("code", """\
+# per-speaker hours + utterance counts
+dps = ds.get_durations_per_speaker(hours=False)
+ups = {s: len(u) for s, u in ds.speakers_utterances.items()}
+fig, axes = plt.subplots(1, 2, figsize=(12, 3))
+axes[0].bar([str(s) for s in dps], list(dps.values()))
+axes[0].set_title("seconds per speaker")
+axes[1].bar([str(s) for s in ups], list(ups.values()))
+axes[1].set_title("utterances per speaker")
+plt.show()"""),
+    ("code", """\
+# deterministic splits (reference src/datasets.py:191-229) stay disjoint
+train_utt, val_utt, test_utt = ds.get_splits(
+    val=True, val_utterances_per_speaker=2,
+    test=True, test_speakers=3, test_utterances_per_speaker=2,
+)
+print(f"train {len(train_utt)} / val {len(val_utt)} / test {len(test_utt)}")
+assert not set(train_utt) & set(val_utt)"""),
+    ("code", """\
+from titanet_tpu.utils.viz import play_audio
+
+ex = ds[0]
+print("speaker", ex["speaker"], "| shape", ex["waveform"].shape, "|", ex["sample_rate"], "Hz")
+plt.figure(figsize=(10, 2))
+plt.plot(ex["waveform"][0][:16000]); plt.title("first second"); plt.show()
+play_audio(ex["waveform"], ex["sample_rate"])  # audio widget in Jupyter"""),
+
+    # ------------------------------------------------------------ frontend
+    ("md", """\
+## 2. Audio frontend (on-device)
+
+The reference recomputed torchaudio's CPU `Spectrogram -> MelScale ->
+AmplitudeToDB -> normalize` per example per epoch (`src/transforms.py:
+111-203`). Here the whole chain is one batched jitted device computation —
+gather-free framing, GEMM DFT on the MXU, mel matmul, dB, L2-norm — with
+measured 8.9e-6 parity vs torch (PARITY.md)."""),
+    ("code", """\
+from titanet_tpu.ops.frontend import (
+    FrontendConfig, log_mel_spectrogram, mel_filterbank,
+)
+from titanet_tpu.utils.viz import plot_spectrogram
+
+cfg = FrontendConfig.from_ms()   # 16 kHz, n_fft 512, 25/10 ms, 80 mels
+wav = jnp.asarray(ex["waveform"][0])[None, :]
+mel, mask = jax.jit(lambda w: log_mel_spectrogram(w, cfg))(wav)
+print("mel:", mel.shape, "| frames mask:", None if mask is None else mask.shape)
+plot_spectrogram(np.asarray(mel[0]), show=True)"""),
+    ("code", """\
+# the mel filterbank itself (HTK scale, no area normalization — torchaudio
+# defaults, reference src/transforms.py:142-144)
+fb = mel_filterbank(cfg.n_fft // 2 + 1, cfg.n_mels, cfg.sample_rate)
+plt.figure(figsize=(10, 3))
+plt.imshow(fb.T, aspect="auto", origin="lower")
+plt.xlabel("fft bin"); plt.ylabel("mel"); plt.title("mel filterbank"); plt.show()"""),
+    ("code", """\
+# variable lengths: padded rows equal their solo computation (bit-exact
+# reflect at the TRUE right edge), frames beyond 1 + len//hop are zeroed
+batch = np.zeros((2, 32000), np.float32)
+batch[0] = np.asarray(ex["waveform"][0][:32000])
+batch[1, :16000] = np.asarray(ds[1]["waveform"][0][:16000])
+mels, fmask = jax.jit(lambda w, l: log_mel_spectrogram(w, cfg, lengths=l))(
+    jnp.asarray(batch), jnp.asarray([32000, 16000]))
+print("valid frames per row:", fmask.sum(axis=1))"""),
+
+    # ------------------------------------------------------- augmentations
+    ("md", """\
+## 3. Augmentations
+
+Reference chain (`src/transforms.py`): RandomChunk -> (Reverb) ->
+MelSpectrogram with SpecAugment = gated **time stretch** (continuous rate on
+the complex spectrogram) + **freq/time masking**. Host-side: chunking, speed
+perturbation, RIR reverb. Device-side: the full SpecAugment, fused into the
+training step."""),
+    ("code", """\
+from titanet_tpu.ops.augment import AugmentConfig, log_mel_specaugment, spec_augment
+
+masked = jax.jit(lambda k, m: spec_augment(k, m, probability=1.0))(
+    jax.random.key(0), mel)
+plot_spectrogram(np.asarray(masked[0]), show=True)  # freq + time masks"""),
+    ("code", """\
+# time stretch: the reference squares the stretched magnitude immediately,
+# so the phase-vocoder phase path cancels — the stretch is exactly a banded
+# linear-interp matmul on frame magnitudes (ops/augment.py)
+aug = AugmentConfig(min_rate=1.25, max_rate=1.25, probability=1.0,
+                    freq_mask_num=0, time_mask_num=0)
+stretched, smask = jax.jit(
+    lambda k, w: log_mel_specaugment(k, w, cfg, aug,
+                                     lengths=jnp.asarray([wav.shape[1]]))
+)(jax.random.key(1), wav)
+fig, axes = plt.subplots(2, 1, figsize=(10, 5))
+axes[0].imshow(np.asarray(mel[0]).T, aspect="auto", origin="lower"); axes[0].set_title("original")
+axes[1].imshow(np.asarray(stretched[0]).T, aspect="auto", origin="lower"); axes[1].set_title("stretched 1.25x (tail masked)")
+plt.show()
+print("valid frames:", int(smask.sum()), "of", stretched.shape[1])"""),
+    ("code", """\
+from titanet_tpu.ops.augment import resample, reverb, speed_perturb
+
+fast, n_fast = speed_perturb(wav, cfg.sample_rate, 1.05)   # sox-equivalent
+slow, n_slow = speed_perturb(wav, cfg.sample_rate, 0.95)
+print(f"T={wav.shape[1]} -> 1.05x: {n_fast}, 0.95x: {n_slow}")
+
+rir = jnp.asarray(np.random.default_rng(0).standard_normal(2000).astype(np.float32)
+                  * np.exp(-np.arange(2000) / 300).astype(np.float32))
+wet = jax.jit(reverb)(wav, rir)
+play_audio(np.asarray(wet), cfg.sample_rate)
+
+down = resample(wav, 16000, 8000)        # torchaudio-exact sinc resampler
+print("16k -> 8k:", wav.shape, "->", down.shape)"""),
+    ("code", """\
+# RandomChunk lives in the loader (reference src/transforms.py:206-233):
+# utterances over max_length get a random 1.5/2/3 s window
+from titanet_tpu.data import ChunkConfig, DataLoader
+
+loader = DataLoader(ds, batch_size=8, chunk=ChunkConfig(enabled=True), seed=0)
+chunked = next(iter(loader))
+print("chunked batch:", chunked.waveform.shape,
+      "lengths:", sorted(set(chunked.lengths.tolist())))"""),
+
+    # -------------------------------------------------------------- models
+    ("md", """\
+## 4. Models
+
+Size presets match the paper's parameter targets (S/M/L = 6.4/13.4/25.3 M,
+reference `src/models.py:173`); `n_mega_blocks=None` solves for the block
+count in closed form (the reference brute-forced 1-19,
+`src/models.py:230-260`). Baselines: `DumbConvNet` (smoke tests) and the
+`DVectorBaseline` LSTM."""),
+    ("code", """\
+from titanet_tpu.models import (
+    DumbConvNet, DVectorBaseline, count_params, find_n_mega_blocks, get_titanet,
+)
+
+for size in "sml":
+    m = get_titanet(model_size=size)
+    print(f"TitaNet-{size.upper()}: {m.n_mega_blocks:>2} mega blocks, "
+          f"{count_params(m)/1e6:6.2f} M params")
+print("block search for M:", find_n_mega_blocks(model_size="m"))"""),
+    ("code", """\
+model_s = get_titanet(model_size="s", n_mega_blocks=17)
+v = jax.jit(model_s.init)(jax.random.key(0), jnp.zeros((1, 301, 80)))
+emb = jax.jit(lambda v, x: model_s.apply(v, x, train=False))(
+    v, jnp.asarray(np.asarray(mel), jnp.float32))
+print("mel [B, T, 80] -> embeddings", emb.shape)  # [B, 192]"""),
+    ("code", """\
+dumb = DumbConvNet(hidden_size=16, embedding_size=32, n_layers=2)
+dv = DVectorBaseline()
+print("DumbConvNet params:", count_params(dumb))
+print("DVectorBaseline params:", f"{count_params(dv)/1e6:.2f} M")"""),
+
+    # -------------------------------------------------------------- losses
+    ("md", """\
+## 5. Loss zoo
+
+CE plus the unified (m1, m2, m3) angular-margin family — SphereFace /
+CosFace / ArcFace — and a vectorized GE2E (the reference's scalar-centroid
+bug fixed; `losses/heads.py`). Heads own the classifier weights, embeddings
+stay loss-agnostic (reference coupling, `src/models.py:318-339`)."""),
+    ("code", """\
+from titanet_tpu.losses.heads import build_head
+
+e = jnp.asarray(np.random.default_rng(0).standard_normal((16, 192)), jnp.float32)
+spk = jnp.asarray(np.arange(16) % 4, jnp.int32)
+for name in ("ce", "sphere", "cos", "arc", "ge2e"):
+    head = build_head(name, 192, 4)
+    hv = jax.jit(head.init)(jax.random.key(0), e, spk)
+    _, preds, loss = jax.jit(head.apply)(hv, e, spk)
+    print(f"{name:>6}: loss {float(loss):7.4f}  preds: "
+          f"{None if preds is None else np.asarray(preds)[:6]}")"""),
+
+    # ------------------------------------------------------------ training
+    ("md", """\
+## 6. Training
+
+One fused, donated, jitted step: wav -> on-device frontend + SpecAugment ->
+fwd/bwd -> Adam (optionally under a device mesh). The loop accumulates
+metrics ON DEVICE — no per-step host sync. Full runs:
+`python -m titanet_tpu.cli train -p configs/parameters.yml` (the reference's
+YAML loads unchanged)."""),
+    ("code", """\
+from titanet_tpu.losses.heads import build_head
+from titanet_tpu.train import create_train_state, make_optimizer
+from titanet_tpu.train.loop import train_one_epoch
+
+n_speakers = ds.get_num_speakers()
+model = get_titanet(model_size="s", n_mega_blocks=2 if FAST else 3)
+head = build_head("arc", 192, n_speakers, scale=30.0, margin=0.2)
+opt = make_optimizer(start_lr=1e-3)
+state = create_train_state(jax.random.key(0), model, head, opt,
+                           jnp.zeros((2, 151, 80)), n_speakers)
+loader = DataLoader(ds, batch_size=8, chunk=ChunkConfig(enabled=True),
+                    transport_dtype="int16", seed=0)
+history = []
+for epoch in range(1, (2 if FAST else 4)):
+    state, metrics, _ = train_one_epoch(
+        epoch, 3, state, loader, model=model, head=head, optimizer=opt,
+        frontend=cfg, augment=AugmentConfig(probability=0.5), renorm_head=True)
+    history.append(metrics)
+    print(f"epoch {epoch}: loss {metrics['train/avg_loss']:.3f} "
+          f"acc {metrics.get('train/accuracy', float('nan')):.3f}")"""),
+    ("code", """\
+plt.figure(figsize=(8, 3))
+plt.plot([m["train/avg_loss"] for m in history], marker="o", label="train loss")
+plt.plot([m.get("train/accuracy", np.nan) for m in history], marker="s", label="train acc")
+plt.xlabel("epoch"); plt.legend(); plt.title("smoke training"); plt.show()"""),
+    ("code", """\
+# Karpathy-recipe gradient-leakage check (reference chart_dependencies,
+# src/utils.py:451-468): one batch element's loss must not receive
+# gradient from other elements
+from titanet_tpu.utils import chart_dependencies
+
+chart_dependencies(model,
+                   {"params": state.params["backbone"],
+                    "batch_stats": state.batch_stats})
+print("batch independence: ok")"""),
+
+    # ------------------------------------------------- EER benchmark corpus
+    ("md", """\
+## 7. Discriminative EER benchmark
+
+The easy corpus saturates (EER 0.0 — a ceiling that can't catch
+regressions). The HARD synthetic corpus draws speakers as small offsets
+around shared formant centers with overlapping pitch, additive noise and
+per-utterance reverb — smoke-scale training lands at a nonzero, stable EER
+(see `configs/bench5_hard_synth_eer.yml` and `docs/eer_bench/`)."""),
+    ("code", """\
+hard = SyntheticSpeakerDataset(
+    n_speakers=16 if FAST else 64, utterances_per_speaker=6,
+    formant_jitter=150.0, noise_level=0.05, reverb_prob=0.5,
+    pitch_jitter=0.10, f0_range=(110.0, 200.0), seed=1234)
+print(hard.info())
+plot_spectrogram(np.asarray(
+    jax.jit(lambda w: log_mel_spectrogram(w, cfg))(
+        jnp.asarray(hard[0]["waveform"]))[0][0]), show=True)"""),
+
+    # -------------------------------------------------------- checkpoints
+    ("md", """\
+## 8. Pretrained reference checkpoints
+
+Reference `.pth` files convert directly — conv/BN/linear/LSTM weights are
+transposed into channels-last flax trees, and classifier heads migrate from
+the `loss_function.*` keys (reference checkpoints are embeddings-only,
+`src/learn.py:188-195`)."""),
+    ("code", """\
+from titanet_tpu.utils.torch_compat import load_reference_checkpoint
+
+ckpt = "pretrained/titanet-s-arc-100e.pth"
+if os.path.exists(ckpt):
+    params, batch_stats = load_reference_checkpoint(ckpt)
+    print("imported:", jax.tree.reduce(lambda a, x: a + x.size, params, 0), "params")
+else:
+    print(f"({ckpt} not present — drop the reference's pretrained files in ./pretrained)")"""),
+
+    # ---------------------------------------------- embeddings/verification
+    ("md", """\
+## 9. Embedding extraction, visualization, verification
+
+Batched + bucketed + masked: padded rows produce the same embedding as solo
+forwards, so EVERY utterance embeds once and all pairs score in one
+`[N, E] @ [E, N]` matmul (the reference ran 2N² batch-1 forwards,
+`src/learn.py:429-439`)."""),
+    ("code", """\
+from titanet_tpu.train.extractor import SpeakerEmbedder
+from titanet_tpu.train.metrics import all_pairs_scores_labels, get_test_metrics
+from titanet_tpu.utils.viz import visualize_embeddings
+
+emb = SpeakerEmbedder(model, state.params["backbone"], state.batch_stats,
+                      frontend=cfg, buckets=[24000, 48000], batch_size=16)
+wavs = [ds[i]["waveform"][0] for i in range(len(ds))]
+speakers = [ds[i]["speaker_id"] for i in range(len(ds))]
+vectors = emb.embed(wavs)
+print("embeddings:", vectors.shape)"""),
+    ("code", """\
+visualize_embeddings(vectors, speakers, reduction_method="svd", show=True)
+if not FAST:
+    visualize_embeddings(vectors, speakers, reduction_method="tsne", show=True)"""),
+    ("code", """\
+scores, labels = all_pairs_scores_labels(vectors, speakers)
+get_test_metrics(scores, labels, prefix="demo")"""),
+
+    # ----------------------------------------------------------- multichip
+    ("md", """\
+## 10. Multi-chip
+
+The SAME train step runs over an N-device `jax.sharding.Mesh`: batch sharded
+on the data axis, state replicated, gradient all-reduce + global-batch
+SyncBN inserted by XLA (`titanet_tpu/parallel/`). Without N real chips,
+validate on a virtual CPU mesh:
+
+```bash
+PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \\
+XLA_FLAGS=--xla_force_host_platform_device_count=8 \\
+python -c "import __graft_entry__ as g; g._dryrun_body(8)"
+```
+
+(`__graft_entry__.dryrun_multichip(8)` self-provisions exactly that.)
+Serving/export: `examples/serve.py`, `tests/test_export.py`."""),
+]
+
+
+def build(out_dir: str = None):
+    out_dir = out_dir or os.path.dirname(os.path.abspath(__file__))
+    nb = {
+        "cells": [],
+        "metadata": {
+            "kernelspec": {"display_name": "Python 3", "language": "python",
+                           "name": "python3"},
+            "language_info": {"name": "python", "version": "3.12"},
+        },
+        "nbformat": 4,
+        "nbformat_minor": 5,
+    }
+    lines = [
+        '"""Straight-line export of examples/titanet_tpu.ipynb (generated by',
+        'build_notebook.py — edit CELLS there, not this file). FAST=1 shrinks',
+        'the training cells for CI; runs on the TPU or the virtual CPU mesh."""',
+        "",
+    ]
+    for kind, text in CELLS:
+        cell_type = "markdown" if kind == "md" else "code"
+        cell = {
+            "cell_type": cell_type,
+            "metadata": {},
+            "source": text.splitlines(keepends=True),
+        }
+        if cell_type == "code":
+            cell["outputs"] = []
+            cell["execution_count"] = None
+            lines.append("# %% " + "-" * 60)
+            lines.append(text)
+            lines.append("")
+        nb["cells"].append(cell)
+    with open(os.path.join(out_dir, "titanet_tpu.ipynb"), "w") as f:
+        json.dump(nb, f, indent=1)
+    with open(os.path.join(out_dir, "titanet_tpu_notebook.py"), "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {len(nb['cells'])} cells -> titanet_tpu.ipynb, "
+          "titanet_tpu_notebook.py")
+
+
+if __name__ == "__main__":
+    build()

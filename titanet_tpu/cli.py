@@ -76,6 +76,21 @@ def build_head_from_config(cfg: Config, n_speakers: int):
     return build_head(loss_name, cfg.generic.embedding_size, n_speakers, **kwargs)
 
 
+def _synthetic_kwargs(cfg: Config) -> dict:
+    if cfg.dataset.name != "synthetic":
+        return {}
+    return dict(
+        n_speakers=cfg.dataset.synthetic_speakers,
+        utterances_per_speaker=cfg.dataset.synthetic_utterances,
+        seed=cfg.dataset.synthetic_seed,
+        formant_jitter=cfg.dataset.synthetic_formant_jitter,
+        noise_level=cfg.dataset.synthetic_noise,
+        reverb_prob=cfg.dataset.synthetic_reverb_prob,
+        pitch_jitter=cfg.dataset.synthetic_pitch_jitter,
+        f0_range=(cfg.dataset.synthetic_f0_min, cfg.dataset.synthetic_f0_max),
+    )
+
+
 def train(cfg: Config) -> None:
     if cfg.generic.fast_prng:
         jax.config.update("jax_default_prng_impl", "rbg")
@@ -92,12 +107,7 @@ def train(cfg: Config) -> None:
         precision=cfg.audio.frontend_precision,
     )
 
-    ds_kwargs = {}
-    if cfg.dataset.name == "synthetic":
-        ds_kwargs = dict(
-            n_speakers=cfg.dataset.synthetic_speakers,
-            utterances_per_speaker=cfg.dataset.synthetic_utterances,
-        )
+    ds_kwargs = _synthetic_kwargs(cfg)
     train_ds, val_ds, test_ds, n_speakers = get_datasets(
         cfg.dataset.root,
         name=cfg.dataset.name,
@@ -312,6 +322,7 @@ def evaluate_checkpoint(cfg: Config, checkpoint_dir: str, epoch: Optional[int] =
         test=True,
         test_speakers=cfg.test.num_speakers,
         test_utterances_per_speaker=cfg.test.num_utterances_per_speaker,
+        **_synthetic_kwargs(cfg),
     )
     model, head, frontend, abstract = _rebuild_state(cfg, n_speakers)
     if epoch is None:

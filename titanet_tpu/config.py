@@ -98,9 +98,18 @@ class TrainingConfig:
 class DatasetConfig:
     root: str = "./data"
     name: str = "librispeech"  # librispeech | vctk | voxceleb1 | voxceleb2 | synthetic
-    # synthetic-corpus size (ignored for on-disk corpora)
+    # synthetic-corpus size + difficulty (ignored for on-disk corpora);
+    # the difficulty knobs make EER a discriminative benchmark — see
+    # SyntheticSpeakerDataset
     synthetic_speakers: int = 8
     synthetic_utterances: int = 12
+    synthetic_seed: int = 0  # corpus seed, independent of generic.seed
+    synthetic_formant_jitter: Optional[float] = None
+    synthetic_noise: float = 0.01
+    synthetic_reverb_prob: float = 0.0
+    synthetic_pitch_jitter: float = 0.05
+    synthetic_f0_min: float = 90.0
+    synthetic_f0_max: float = 280.0
 
 
 @_register

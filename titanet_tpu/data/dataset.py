@@ -334,6 +334,20 @@ class SyntheticSpeakerDataset(SpeakerDataset):
     stacks with per-utterance pitch/noise — linearly separable enough for a
     smoke-test model to overfit (the role DumbConvNet + tiny split played in
     the reference, src/train.py:59-60).
+
+    Difficulty knobs (all default to the easy round-1 behavior) make the
+    corpus DISCRIMINATIVE — a benchmark where a smoke-scale run lands at a
+    nonzero, regression-sensitive EER rather than a 0.0 ceiling:
+
+    - ``formant_jitter``: when set, speaker formants are small per-speaker
+      offsets (std ``formant_jitter`` Hz) around SHARED centers
+      (500/1500/2500 Hz) instead of independent uniform(300, 3200) draws —
+      speakers become genuinely confusable,
+    - ``f0_range``: per-speaker pitch range; narrow it to overlap speakers,
+    - ``pitch_jitter``: per-utterance pitch wobble (fraction of f0),
+    - ``noise_level``: additive white noise amplitude,
+    - ``reverb_prob``: probability of convolving a random exponentially-
+      decaying synthetic RIR (per-utterance room).
     """
 
     def __init__(
@@ -344,6 +358,12 @@ class SyntheticSpeakerDataset(SpeakerDataset):
         min_seconds: float = 1.2,
         max_seconds: float = 3.5,
         seed: int = 0,
+        formant_jitter: Optional[float] = None,
+        f0_range: Tuple[float, float] = (90.0, 280.0),
+        pitch_jitter: float = 0.05,
+        noise_level: float = 0.01,
+        reverb_prob: float = 0.0,
+        cache: bool = True,
     ):
         self.n = n_speakers * utterances_per_speaker
         self.n_speakers_ = n_speakers
@@ -351,9 +371,21 @@ class SyntheticSpeakerDataset(SpeakerDataset):
         self.sample_rate = sample_rate
         self.min_seconds, self.max_seconds = min_seconds, max_seconds
         self.seed = seed
+        self.pitch_jitter = pitch_jitter
+        self.noise_level = noise_level
+        self.reverb_prob = reverb_prob
+        # synthesis is deterministic per (seed, idx): cache waveforms so
+        # epochs don't re-synthesize (augmentation happens in the loader)
+        self._cache: Optional[Dict[int, Tuple]] = {} if cache else None
         rng = np.random.default_rng(seed)
-        self._f0 = rng.uniform(90, 280, n_speakers)
-        self._formants = rng.uniform(300, 3200, (n_speakers, 3))
+        self._f0 = rng.uniform(f0_range[0], f0_range[1], n_speakers)
+        if formant_jitter is None:
+            self._formants = rng.uniform(300, 3200, (n_speakers, 3))
+        else:
+            centers = np.array([500.0, 1500.0, 2500.0])
+            self._formants = centers[None, :] + rng.normal(
+                0.0, formant_jitter, (n_speakers, 3)
+            )
         super().__init__()
 
     def __len__(self):
@@ -369,11 +401,20 @@ class SyntheticSpeakerDataset(SpeakerDataset):
         return f"synthetic://{idx}"
 
     def get_sample(self, idx):
+        if self._cache is not None and idx in self._cache:
+            return self._cache[idx]
+        out = self._synthesize(idx)
+        if self._cache is not None:
+            self._cache[idx] = out
+        return out
+
+    def _synthesize(self, idx):
         speaker = idx // self.ups
         rng = np.random.default_rng(self.seed * 100003 + idx)
         seconds = rng.uniform(self.min_seconds, self.max_seconds)
         t = np.arange(int(seconds * self.sample_rate)) / self.sample_rate
-        f0 = self._f0[speaker] * rng.uniform(0.95, 1.05)
+        jit = self.pitch_jitter
+        f0 = self._f0[speaker] * rng.uniform(1.0 - jit, 1.0 + jit)
         x = np.zeros_like(t, np.float32)
         for k in range(1, 9):
             weight = sum(
@@ -383,7 +424,21 @@ class SyntheticSpeakerDataset(SpeakerDataset):
             x += (weight / k).astype(np.float32) * np.sin(
                 2 * np.pi * k * f0 * t + rng.uniform(0, 2 * np.pi)
             ).astype(np.float32)
-        x += rng.standard_normal(len(t)).astype(np.float32) * 0.01
+        if self.reverb_prob > 0 and rng.random() < self.reverb_prob:
+            # random room: exponentially decaying noise RIR, ~0.15 s
+            rir_len = int(0.15 * self.sample_rate)
+            rir = rng.standard_normal(rir_len) * np.exp(
+                -np.arange(rir_len) / (0.03 * self.sample_rate)
+            )
+            rir[0] = 1.0
+            rir = rir / np.linalg.norm(rir)
+            n = 1
+            while n < len(x) + rir_len - 1:
+                n *= 2
+            x = np.fft.irfft(
+                np.fft.rfft(x, n) * np.fft.rfft(rir, n), n
+            )[: len(t)].astype(np.float32)
+        x += rng.standard_normal(len(t)).astype(np.float32) * self.noise_level
         x = 0.3 * x / max(np.abs(x).max(), 1e-6)
         return x[None, :].astype(np.float32), self.sample_rate, speaker
 

@@ -11,7 +11,8 @@ Rebuild of the reference ``AttentiveStatsPooling``
 
 The two projections are ``[B*T, C] @ [C, H]`` and ``[B*T, H] @ [H, C]``
 matmuls (MXU); softmax + weighted moments are a single fused VPU epilogue
-under XLA. A Pallas-fused variant lives in ``titanet_tpu.ops.pallas``.
+under XLA (profiled: XLA already emits one fused reduction kernel here, so
+no hand-written Pallas variant exists — see BENCHMARKS.md roofline notes).
 
 Pass ``mask`` (``[B, T]``, 1 = valid) to exclude padded frames from the
 softmax — the reference cannot do this (it attends over padding); parity mode
