@@ -291,3 +291,28 @@ def test_subset_honors_full_speaker_dataset_protocol():
     assert info["num_utterances"] == 8 and info["num_speakers"] == 2
     durations = view.get_durations_per_speaker(hours=False)
     assert set(durations) == {1, 3} and all(v > 0 for v in durations.values())
+
+
+def test_continuous_speed_perturbation():
+    """sox-style continuous speed: rate ~ U(min, max), output length
+    ~ len / rate, deterministic per (seed, epoch, position)."""
+    from titanet_tpu.data.dataset import SyntheticSpeakerDataset
+    from titanet_tpu.data.loader import ChunkConfig, DataLoader, SpeedConfig
+
+    ds = SyntheticSpeakerDataset(n_speakers=2, utterances_per_speaker=2,
+                                 min_seconds=2.0, max_seconds=2.0)
+    kw = dict(batch_size=4, shuffle=False, drop_last=False,
+              chunk=ChunkConfig(enabled=False), prefetch=0, seed=9)
+    loader = DataLoader(
+        ds, speed=SpeedConfig(enabled=True, continuous=True,
+                              rates=(0.9, 1.1), probability=1.0), **kw)
+    plain = DataLoader(ds, **kw)
+    b = next(iter(loader))
+    p = next(iter(plain))
+    ratios = p.lengths / b.lengths
+    assert np.all((ratios > 0.88) & (ratios < 1.12))
+    assert len(set(b.lengths.tolist())) > 1  # rates actually vary
+    b2 = next(iter(DataLoader(
+        ds, speed=SpeedConfig(enabled=True, continuous=True,
+                              rates=(0.9, 1.1), probability=1.0), **kw)))
+    np.testing.assert_array_equal(b.lengths, b2.lengths)  # deterministic

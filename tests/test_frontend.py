@@ -53,12 +53,20 @@ def test_power_spectrogram_matches_torch_stft():
     )
     ref_power = ref.abs().pow(2).numpy()  # [B, bins, F]
 
-    for use_matmul in (False, True):
-        cfg = CFG._replace(use_matmul_dft=use_matmul)
+    for use_conv, use_matmul in ((True, True), (False, True), (False, False)):
+        cfg = CFG._replace(use_conv_dft=use_conv, use_matmul_dft=use_matmul)
         ours = np.asarray(spectrogram(jnp.asarray(x), cfg, power=2.0))  # [B, F, bins]
         np.testing.assert_allclose(
             ours.transpose(0, 2, 1), ref_power, rtol=1e-3, atol=1e-5,
+            err_msg=f"conv={use_conv} matmul={use_matmul}",
         )
+    # complex output of the conv path matches torch.stft too
+    cplx = np.asarray(
+        spectrogram(jnp.asarray(x), CFG._replace(use_conv_dft=True), power=None)
+    )
+    np.testing.assert_allclose(
+        cplx.transpose(0, 2, 1), ref.numpy(), rtol=1e-3, atol=1e-4,
+    )
 
 
 def test_frame_count_matches_torch():

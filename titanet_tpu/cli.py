@@ -131,6 +131,7 @@ def train(cfg: Config) -> None:
         rates=(cfg.augmentation.speed.min, 1.0, cfg.augmentation.speed.max),
         probability=cfg.augmentation.probability,
         enabled="speed" in enabled_augs,
+        continuous=cfg.augmentation.speed.continuous,
     )
     rir_paths: tuple = ()
     if "reverb" in enabled_augs:

@@ -262,6 +262,9 @@ class ChunkConfig:
 class SpeedConfig:
     min: float = 0.95
     max: float = 1.05
+    # sox-style continuous rate ~ U(min, max) instead of the discrete
+    # {min, 1.0, max} polyphase resampler (see data.loader.SpeedConfig)
+    continuous: bool = False
 
 
 @_register

@@ -56,12 +56,22 @@ class ChunkConfig:
 @dataclass
 class SpeedConfig:
     """Host-side speed perturbation (reference SpeedPerturbation via sox,
-    src/transforms.py:78-108). Discrete rates (torchaudio SpeedPerturbation
-    convention) so the polyphase kernels are cached per rate."""
+    src/transforms.py:78-108).
+
+    Two modes:
+    - discrete (default): rate drawn from ``rates``; exact polyphase sinc
+      resampling with kernels cached per rate (torchaudio
+      ``SpeedPerturbation`` convention),
+    - ``continuous=True``: rate ~ U(min(rates), max(rates)) like sox's
+      continuous ``speed`` effect, via linear-interpolation resampling
+      (arbitrary ratios make polyphase kernel caching impossible; linear
+      interp's slight HF rolloff is augmentation-grade, not a parity
+      surface)."""
 
     rates: Sequence[float] = (0.95, 1.0, 1.05)
     probability: float = 1.0
     enabled: bool = False
+    continuous: bool = False
 
 
 @dataclass
@@ -169,11 +179,21 @@ class DataLoader:
         if sr != self.sample_rate:
             wav = _resample_host(wav, sr, self.sample_rate)
         if self.speed.enabled and rng.random() < self.speed.probability:
-            rate = float(rng.choice(self.speed.rates))
-            if rate != 1.0:
-                wav = _resample_host(
-                    wav, self.sample_rate, int(round(self.sample_rate / rate))
+            if self.speed.continuous:
+                rate = float(
+                    rng.uniform(min(self.speed.rates), max(self.speed.rates))
                 )
+                if abs(rate - 1.0) > 1e-6:
+                    pos = np.arange(0, len(wav) - 1, rate)
+                    wav = np.interp(pos, np.arange(len(wav)), wav).astype(
+                        np.float32
+                    )
+            else:
+                rate = float(rng.choice(self.speed.rates))
+                if rate != 1.0:
+                    wav = _resample_host(
+                        wav, self.sample_rate, int(round(self.sample_rate / rate))
+                    )
         if self.reverb.enabled and self.reverb.rir_paths and (
             rng.random() < self.reverb.probability
         ):

@@ -145,6 +145,25 @@ def _padded_buffer(
     return jax.vmap(fix_row)(buf, x, lengths.astype(jnp.int32))
 
 
+def _framing_buffer(
+    x: jax.Array, n_fft: int, hop_length: int, lengths: Optional[jax.Array]
+) -> Tuple[jax.Array, int, int]:
+    """Center-reflect-padded buffer covering all frames:
+    ``(buf [B, >= (n_frames-1)*hop + k*hop], n_frames, k_slices)``."""
+    b, t = x.shape
+    pad = n_fft // 2
+    assert t > pad, (
+        f"input length {t} must exceed n_fft//2={pad} for reflect padding "
+        "(same constraint as torch.stft center=True)"
+    )
+    n_frames = 1 + t // hop_length
+    k_slices = -(-n_fft // hop_length)  # ceil
+    # buffer must cover (n_frames-1)*hop + k_slices*hop samples
+    need = (n_frames - 1 + k_slices) * hop_length
+    extra = max(need - (t + 2 * pad), 0)
+    return _padded_buffer(x, pad, extra, lengths), n_frames, k_slices
+
+
 def frame_signal(
     x: jax.Array,
     n_fft: int,
@@ -170,18 +189,8 @@ def frame_signal(
         squeeze = True
     else:
         squeeze = False
-    b, t = x.shape
-    pad = n_fft // 2
-    assert t > pad, (
-        f"input length {t} must exceed n_fft//2={pad} for reflect padding "
-        "(same constraint as torch.stft center=True)"
-    )
-    n_frames = 1 + t // hop_length
-    k_slices = -(-n_fft // hop_length)  # ceil
-    # buffer must cover (n_frames-1)*hop + k_slices*hop samples
-    need = (n_frames - 1 + k_slices) * hop_length
-    extra = max(need - (t + 2 * pad), 0)
-    buf = _padded_buffer(x, pad, extra, lengths)
+    buf, n_frames, k_slices = _framing_buffer(x, n_fft, hop_length, lengths)
+    b = x.shape[0]
     pieces = [
         buf[:, k * hop_length : (n_frames + k) * hop_length].reshape(
             b, n_frames, hop_length
@@ -202,6 +211,39 @@ def _dft_matrices(n_fft: int) -> Tuple[np.ndarray, np.ndarray]:
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=8)
+def _windowed_dft_filters(n_fft: int, win_length: int) -> np.ndarray:
+    """Windowed DFT basis as conv filters ``[n_fft, 1, 2 * n_bins]``
+    (cos | sin, window folded in) for DFT-as-strided-convolution."""
+    cos_m, sin_m = _dft_matrices(n_fft)
+    window = padded_window(n_fft, win_length).astype(np.float64)[:, None]
+    return np.concatenate(
+        [cos_m * window, sin_m * window], axis=1
+    ).astype(np.float32)[:, None, :]
+
+
+def _conv_dft(buf: jax.Array, n_frames: int, cfg: "FrontendConfig", prec):
+    """Framing + window + rDFT as ONE strided convolution over the padded
+    buffer: ``[B, T_buf] -> (re, im) [B, F, n_bins]``.
+
+    TPU-first: the MXU consumes the overlapping 512-tap windows natively
+    (implicit GEMM), so the ``[B, F, n_fft]`` frames tensor — 79 MB at
+    B=128/3 s, written AND re-read by the frame+matmul path — never
+    materializes in HBM (frontend path measurements: BENCHMARKS.md)."""
+    n_bins = cfg.n_fft // 2 + 1
+    need = (n_frames - 1) * cfg.hop_length + cfg.n_fft
+    filters = jnp.asarray(_windowed_dft_filters(cfg.n_fft, cfg.win_length))
+    out = jax.lax.conv_general_dilated(
+        buf[:, :need, None],
+        filters,
+        window_strides=(cfg.hop_length,),
+        padding=[(0, 0)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=prec,
+    )  # [B, F, 2*n_bins]
+    return out[..., :n_bins], out[..., n_bins:]
+
+
 class FrontendConfig(NamedTuple):
     """Static frontend hyper-parameters (reference parameters.yml:79-85:
     sr 16000, n_fft 512, win 25 ms, hop 10 ms, 80 mels)."""
@@ -212,6 +254,11 @@ class FrontendConfig(NamedTuple):
     hop_length: int = 160  # samples (10 ms @ 16 kHz)
     n_mels: int = 80
     use_matmul_dft: bool = True
+    # framing + window + rDFT as ONE strided MXU convolution — the frames
+    # tensor never materializes in HBM (see _conv_dft; measured faster than
+    # frame+matmul, BENCHMARKS.md). Same math, summation order may differ
+    # by float rounding from torch.stft's (still well within parity budget).
+    use_conv_dft: bool = True  # (parity-tested vs torch.stft; see tests)
     # 'highest' = f32 multi-pass matmuls (torchaudio parity, default);
     # 'default' = MXU bf16 passes (~4x faster frontend, ~5e-2 mel error —
     # fine as training-time noise, not for parity-graded inference)
@@ -241,18 +288,28 @@ def spectrogram(
 ) -> jax.Array:
     """``[..., T] -> [..., F, n_bins]`` power (or complex if power=None)
     spectrogram, torch.stft-compatible."""
+    # HIGHEST precision by default: TPU's bf16 matmul passes lose ~5e-2
+    # after the dB + L2-norm chain; the DFT is parity-critical
+    # (SURVEY.md §7). cfg.precision='default' trades that for speed.
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if cfg.precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
+    if cfg.use_conv_dft:
+        x = waveform[None] if waveform.ndim == 1 else waveform
+        buf, n_frames, _ = _framing_buffer(x, cfg.n_fft, cfg.hop_length, lengths)
+        re, im = _conv_dft(buf, n_frames, cfg, prec)
+        if waveform.ndim == 1:
+            re, im = re[0], im[0]
+        if power is None:
+            return re + 1j * im
+        p = re * re + im * im
+        return p if power == 2.0 else p ** (power / 2.0)
     frames = frame_signal(waveform, cfg.n_fft, cfg.hop_length, lengths=lengths)
     window = jnp.asarray(padded_window(cfg.n_fft, cfg.win_length))
     frames = frames * window
     if cfg.use_matmul_dft and power is not None:
-        # HIGHEST precision by default: TPU's bf16 matmul passes lose ~5e-2
-        # after the dB + L2-norm chain; the DFT is parity-critical
-        # (SURVEY.md §7). cfg.precision='default' trades that for speed.
-        prec = (
-            jax.lax.Precision.HIGHEST
-            if cfg.precision == "highest"
-            else jax.lax.Precision.DEFAULT
-        )
         cos_m, sin_m = _dft_matrices(cfg.n_fft)
         re = jnp.dot(frames, jnp.asarray(cos_m), precision=prec)
         im = jnp.dot(frames, jnp.asarray(sin_m), precision=prec)
