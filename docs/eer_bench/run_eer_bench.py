@@ -41,6 +41,20 @@ RUNS = [
 ]
 
 
+def _read_test_row(name):
+    """Return the final test/eer row of a finished run, else None."""
+    metrics_path = os.path.join(CKPT_ROOT, name, "metrics.jsonl")
+    if not os.path.exists(metrics_path):
+        return None
+    test = None
+    with open(metrics_path) as f:
+        for line in f:
+            row = json.loads(line)
+            if "test/eer" in row:
+                test = row
+    return test
+
+
 def run_one(name, overrides):
     from titanet_tpu.cli import train
     from titanet_tpu.config import load_config
@@ -51,13 +65,7 @@ def run_one(name, overrides):
         os.path.join(REPO, "configs", "bench5_hard_synth_eer.yml"), overrides
     )
     train(cfg)
-    metrics_path = os.path.join(CKPT_ROOT, name, "metrics.jsonl")
-    test = {}
-    with open(metrics_path) as f:
-        for line in f:
-            row = json.loads(line)
-            if "test/eer" in row:
-                test = row
+    test = _read_test_row(name) or {}
     return {"run": name, "eer": test.get("test/eer"),
             "mindcf": test.get("test/mindcf"), **overrides}
 
@@ -65,8 +73,13 @@ def run_one(name, overrides):
 def main():
     results = []
     for name, overrides in RUNS:
-        if os.path.exists(os.path.join(CKPT_ROOT, name, "metrics.jsonl")):
-            print(f"[skip] {name} already ran")
+        done = _read_test_row(name)
+        if done is not None:
+            print(f"[skip] {name} already ran: eer={done['test/eer']}")
+            results.append({"run": name, "eer": done["test/eer"],
+                            "mindcf": done.get("test/mindcf"),
+                            "training.run_name": name, **overrides})
+            continue
         print(f"[run] {name}")
         results.append(run_one(name, overrides))
         print(json.dumps(results[-1]))
