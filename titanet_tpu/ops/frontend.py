@@ -263,6 +263,12 @@ class FrontendConfig(NamedTuple):
     # 'default' = MXU bf16 passes (~4x faster frontend, ~5e-2 mel error —
     # fine as training-time noise, not for parity-graded inference)
     precision: str = "highest"
+    # Route log_mel_spectrogram through the single fused Pallas kernel
+    # (ops/pallas/melspec.py log_mel_spectrogram_pallas_fused): framing,
+    # DFT, power, mel, dB and L2-norm in one kernel — frames and spectrum
+    # never touch HBM. TPU-only (tests run it in interpret mode); measured
+    # vs the XLA paths in bench_frontend.py / BENCHMARKS.md.
+    use_pallas_fused: bool = False
 
     @classmethod
     def from_ms(cls, sample_rate=16000, n_fft=512, win_ms=25, hop_ms=10, n_mels=80, **kw):
@@ -349,6 +355,11 @@ def log_mel_spectrogram(
     ``lengths`` is given, frames at/after ``1 + length // hop`` are zeroed
     (identical to reference zero-padded collation, src/datasets.py:64-71).
     """
+    if cfg.use_pallas_fused and mel_fb is None:
+        # Lazy import: ops.pallas.melspec imports this module.
+        from titanet_tpu.ops.pallas.melspec import log_mel_spectrogram_pallas_fused
+
+        return log_mel_spectrogram_pallas_fused(waveform, cfg, lengths=lengths)
     if mel_fb is None:
         mel_fb = jnp.asarray(
             mel_filterbank(cfg.n_fft // 2 + 1, cfg.n_mels, cfg.sample_rate)
