@@ -358,6 +358,32 @@ python -c "import __graft_entry__ as g; g._dryrun_body(8)"
 
 (`__graft_entry__.dryrun_multichip(8)` self-provisions exactly that.)
 Serving/export: `examples/serve.py`, `tests/test_export.py`."""),
+
+    # ------------------------------------------------- fast serving paths
+    ("md", """\
+## 11. Fast serving paths
+
+Two TPU-only speed levers beyond the bf16 flax path (both parity-tested;
+numbers in BENCHMARKS.md):
+
+- **Fused Pallas frontend** — framing, DFT, power, mel, dB, L2-norm in ONE
+  kernel; frames and spectrum never touch HBM
+  (`FrontendConfig(use_pallas_fused=True)`).
+- **Int8 quantized encoder** — per-channel int8 weights (BN folded in),
+  dynamic per-row int8 activations, int8 MXU matmuls
+  (`titanet_tpu.models.quantized`)."""),
+
+    ("code", """\
+from titanet_tpu.models import l2_normalize, quantize_titanet, titanet_apply_quantized
+
+trained = {"params": state.params["backbone"], "batch_stats": state.batch_stats}
+mel_batch = jnp.asarray(
+    np.random.default_rng(0).standard_normal((8, 151, 80)), jnp.float32)
+qtree = jax.jit(lambda v: quantize_titanet(model, v))(trained)
+emb_int8 = jax.jit(titanet_apply_quantized)(qtree, mel_batch)
+emb_f32 = jax.jit(lambda v, x: model.apply(v, x, train=False))(trained, mel_batch)
+cos = (l2_normalize(emb_int8) * l2_normalize(emb_f32)).sum(-1)
+print("int8 vs f32 embedding cosine (min):", float(np.asarray(cos).min()))"""),
 ]
 
 

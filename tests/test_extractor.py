@@ -60,3 +60,29 @@ def test_warmup_compiles():
     emb.warmup()  # no error; subsequent embeds hit the jit cache
     out = emb.embed([np.zeros(20000, np.float32)])
     assert out.shape == (1, 8)
+
+
+def test_quantized_embedder_matches_f32():
+    from titanet_tpu.models import TitaNet
+
+    model = TitaNet(
+        n_mega_blocks=1, encoder_hidden_size=64, encoder_output_size=96,
+        embedding_size=16, mega_block_kernel_size=3, attention_hidden_size=8,
+        dropout=0.0,
+    )
+    cfg = FrontendConfig.from_ms()
+    mel0, _ = log_mel_spectrogram(jnp.zeros((1, 16000)), cfg)
+    variables = jax.jit(model.init)(jax.random.key(0), mel0)
+    kw = dict(frontend=cfg, buckets=[16000, 24000], batch_size=4)
+    emb_f32 = SpeakerEmbedder(
+        model, variables["params"], variables["batch_stats"], **kw)
+    emb_q = SpeakerEmbedder(
+        model, variables["params"], variables["batch_stats"], quantized=True, **kw)
+    rng = np.random.default_rng(1)
+    wavs = [rng.standard_normal(n).astype(np.float32) * 0.1
+            for n in (12000, 22000, 16000)]
+    a = emb_f32.embed(wavs)
+    b = emb_q.embed(wavs)
+    assert b.shape == a.shape
+    cos = np.sum(a * b, axis=-1)
+    assert (cos > 0.99).all(), cos

@@ -6,6 +6,11 @@ from titanet_tpu.models.baselines import (  # noqa: F401
     DumbConvNet,
     DVectorBaseline,
 )
+from titanet_tpu.models.quantized import (  # noqa: F401
+    QuantTitaNet,
+    quantize_titanet,
+    titanet_apply_quantized,
+)
 from titanet_tpu.models.titanet import (  # noqa: F401
     TARGET_PARAMS,
     ConvBlock1d,

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from titanet_tpu.ops.frontend import FrontendConfig
-from titanet_tpu.train.state import embed_step
+from titanet_tpu.train.state import embed_step, embed_step_quantized
 
 
 def geometric_buckets(
@@ -48,6 +48,7 @@ class SpeakerEmbedder:
         buckets: Optional[Sequence[int]] = None,
         batch_size: int = 32,
         window_overlap: float = 0.5,
+        quantized: bool = False,
     ):
         self.model = model
         self.params = params
@@ -56,6 +57,18 @@ class SpeakerEmbedder:
         self.buckets = sorted(buckets) if buckets else geometric_buckets()
         self.batch_size = batch_size
         self.window_overlap = window_overlap
+        self.qtree = None
+        if quantized:
+            # int8 encoder matmuls (titanet_tpu.models.quantized): ~2x MXU
+            # peak on TPU, embedding cosine vs f32 measured in
+            # tests/test_quantized.py and BENCHMARKS.md
+            from titanet_tpu.models.quantized import quantize_titanet
+
+            import jax
+
+            self.qtree = jax.jit(
+                lambda v: quantize_titanet(model, v)
+            )({"params": params, "batch_stats": batch_stats})
 
     # -- internals -----------------------------------------------------------
     def _bucket_for(self, n: int) -> int:
@@ -77,11 +90,17 @@ class SpeakerEmbedder:
             lengths[len(group):] = 1  # harmless filler rows
             # masked=True: pooling/SE exclude padded frames, so a padded
             # batched embedding equals the utterance's solo embedding
-            emb = embed_step(
-                self.params, self.batch_stats,
-                jnp.asarray(batch), jnp.asarray(lengths),
-                model=self.model, frontend=self.frontend, masked=True,
-            )
+            if self.qtree is not None:
+                emb = embed_step_quantized(
+                    self.qtree, jnp.asarray(batch), jnp.asarray(lengths),
+                    frontend=self.frontend, masked=True,
+                )
+            else:
+                emb = embed_step(
+                    self.params, self.batch_stats,
+                    jnp.asarray(batch), jnp.asarray(lengths),
+                    model=self.model, frontend=self.frontend, masked=True,
+                )
             out.append(np.asarray(emb)[: len(group)])
         return np.concatenate(out)
 

@@ -221,6 +221,26 @@ def embed_step(
     return l2_normalize(emb)
 
 
+@functools.partial(jax.jit, static_argnames=("frontend", "masked"))
+def embed_step_quantized(
+    qtree,
+    waveform: jax.Array,
+    lengths: jax.Array,
+    *,
+    frontend: FrontendConfig,
+    masked: bool = False,
+):
+    """Int8 serving twin of :func:`embed_step`
+    (``titanet_tpu.models.quantized``): wav -> unit-norm embeddings."""
+    from titanet_tpu.models.quantized import titanet_apply_quantized
+
+    mel, mask = log_mel_spectrogram(
+        _dequantize_waveform(waveform), frontend, lengths=lengths
+    )
+    emb = titanet_apply_quantized(qtree, mel, mask=mask if masked else None)
+    return l2_normalize(emb)
+
+
 class MetricsAcc(struct.PyTreeNode):
     """Device-side epoch accumulator: per-step losses, finiteness and
     classification counts stay on device; the host reads back ONE small
