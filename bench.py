@@ -46,11 +46,24 @@ def bench_tpu(mel: np.ndarray) -> float:
     # - loops over *perturbed* inputs get hoisted when the perturbation
     #   rounds away (bf16 ulp) -> >peak-FLOPs readings;
     # - block_until_ready returns before completion; only a value readback
-    #   synchronizes, but readback costs ~30 ms of tunnel RTT per call.
+    #   synchronizes, and a synced call has a fixed ~25 ms dispatch+RTT
+    #   floor regardless of device work (measured with a trivial jitted op).
     # So: ONE jitted chain of `iters` model calls where each iteration's
     # input data-depends on the previous output (structurally serial,
-    # unhoistable), then a single scalar readback; RTT amortizes to <3%.
-    iters = 32
+    # unhoistable), a single scalar readback, and the measured RTT floor
+    # subtracted from each chain's wall time.
+    iters = 64
+
+    tiny = jax.jit(lambda z: (z * 1.000001).sum())
+    float(tiny(x0_f := jnp.ones((8, 128), jnp.float32)))
+    floors = []
+    for t in range(5):
+        zt = x0_f + np.float32(t + 1)
+        jax.block_until_ready(zt)
+        t0 = time.perf_counter()
+        float(tiny(zt))
+        floors.append(time.perf_counter() - t0)
+    floor = float(np.median(floors))
 
     def chained(v, x0):
         def body(i, carry):
@@ -72,7 +85,7 @@ def bench_tpu(mel: np.ndarray) -> float:
         jax.block_until_ready(xt)
         t0 = time.perf_counter()
         float(chain(variables, xt))
-        times.append((time.perf_counter() - t0) / iters)
+        times.append((time.perf_counter() - t0 - floor) / iters)
     dt = float(np.median(times))
     return B / dt
 

@@ -1,7 +1,8 @@
 """Extended benchmark sweep: TitaNet S/M/L inference + training throughput.
 
 Writes BENCHMARKS.md. (The driver contract lives in bench.py — one JSON
-line for the headline metric; this script is the full table.)
+line for the headline metric; this script is the full table. Frontend and
+serving-stack tables quote bench_frontend.py / bench_quantized.py runs.)
 """
 
 import time
@@ -9,7 +10,28 @@ import time
 import numpy as np
 
 
-def chain_time(fn, v, x, iters=16):
+def measure_rtt_floor():
+    """Fixed dispatch+readback cost of ONE synced call through the
+    remote-TPU relay (~25-29 ms here), independent of device work.
+    Subtracted from every chain timing; see the methodology section
+    this script writes into BENCHMARKS.md."""
+    import jax
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda z: (z * 1.000001).sum())
+    z0 = jnp.ones((8, 128), jnp.float32)
+    float(tiny(z0))
+    ts = []
+    for t in range(5):
+        zt = z0 + np.float32(t + 1)
+        jax.block_until_ready(zt)
+        t0 = time.perf_counter()
+        float(tiny(zt))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def chain_time(fn, v, x, floor, iters=64):
     import jax
     import jax.numpy as jnp
 
@@ -30,8 +52,71 @@ def chain_time(fn, v, x, iters=16):
         jax.block_until_ready(xt)
         t0 = time.perf_counter()
         float(c(v, xt))
-        ts.append((time.perf_counter() - t0) / iters)
+        ts.append((time.perf_counter() - t0 - floor) / iters)
     return float(np.median(ts))
+
+
+EXTRA_SECTIONS = """
+## Methodology (remote-TPU relay; hard-won)
+
+Chained device-side timing: one jitted chain of N calls where every
+iteration's input data-depends on the previous output (structurally serial
+— can't be hoisted or cache-served), ONE scalar readback at the end. A
+synced call has a fixed **~25-29 ms dispatch+readback floor** regardless of
+device work (measured each run with a trivial jitted op and SUBTRACTED from
+every chain's wall time — at 32 iters the floor alone would inflate
+per-batch numbers by ~0.8 ms; round-1 numbers carried that inflation).
+
+## Frontend: wav -> normalized log-mel (B=128, 3 s, bench_frontend.py)
+
+| path | 'highest' (torchaudio parity) | 'default' (serving) |
+|---|---|---|
+| XLA strided-frame + GEMM DFT | **1.02 ms** | 0.37 ms |
+| XLA conv-DFT (implicit GEMM) | 1.18 ms | 1.02 ms |
+| Pallas DFT..norm (XLA framing) | 1.69 ms | 1.70 ms |
+| Pallas fully-fused (framing in-kernel) | 1.42 ms | **0.26 ms** |
+
+At serving precision the fully-fused kernel is the fastest wav->mel path on
+the chip (**1.4x the best XLA pipeline**, ~490k utt/s): framing is
+phase-decomposed into lane-aligned MXU matmuls against a resident basis, so
+the frames tensor (3.2x the waveform bytes) and the complex spectrum never
+touch HBM, and bf16 operands run the MXU at its full rate. At 'highest'
+precision the multi-pass f32 matmuls dominate and the kernel's 1.19x
+pad-FLOPs lose to XLA's single ideal-K GEMM — the parity path stays XLA.
+Roofline: fused-kernel HBM traffic is ~1 KB/frame (wav in, mel out) = 45 us
+/batch floor; the measured 0.26 ms is MXU-bound (DFT ~32 GFLOP/batch incl.
+1.19x phase padding).
+
+## Serving stacks: TitaNet-S end-to-end (bench_quantized.py)
+
+| stack | B=128 | utt/s/chip |
+|---|---|---|
+| mel->emb, bf16 flax encoder | 3.13 ms | 41.0k |
+| wav->emb, parity frontend + bf16 encoder | 4.62 ms | 27.7k |
+| wav->emb, fused frontend + bf16 encoder | **3.44 ms** | **37.2k** |
+| wav->emb, fused frontend + int8 encoder | 31.7 ms | 4.0k |
+
+## Int8 quantization: quality yes, speed no (on this stack)
+
+Post-training int8 (per-channel weights with folded BN, dynamic per-row
+activations, int8->int32 MXU accumulate; `titanet_tpu/models/quantized.py`)
+keeps embedding cosine vs bf16 at **>= 0.9997** — but measured raw int8
+matmul throughput here is BELOW bf16 (119 TOP/s via XLA, 90 via a Pallas
+kernel, vs 207 TFLOP/s bf16 at the same shapes), so the int8 encoder is
+~10x slower end-to-end. The int8 path ships as a tested capability (4x
+weight compression for memory-constrained serving); the speed path is bf16.
+Same honest-negative club as the fused mega-block kernel
+(`ops/pallas/megablock.py`: XLA's conv fusion wins, 11.5 vs 4.4 ms).
+
+## Pallas scoreboard
+
+- **Win**: fully-fused wav->mel frontend, 1.4x best-XLA at serving
+  precision (above) — layout-bound problem, kernel controls traffic.
+- **Draw**: DFT..norm kernel with XLA framing — saves the spectrum
+  round-trip but keeps the frames one.
+- **Loss (kept, documented)**: fused mega-block chain; int8 matmuls —
+  GEMM-bound problems where XLA/MXU already sit at the roofline.
+"""
 
 
 def main():
@@ -48,6 +133,8 @@ def main():
     cfg = FrontendConfig.from_ms()
     rng = np.random.default_rng(0)
     rows = []
+    floor = measure_rtt_floor()
+    print(f"rtt floor: {floor*1e3:.2f} ms", flush=True)
 
     B = 64  # fits TitaNet-L activations comfortably
     x = jnp.asarray(rng.standard_normal((B, 301, 80)), jnp.float32)
@@ -63,7 +150,7 @@ def main():
             lambda v, xx: l2_normalize(
                 model.apply(v, xx.astype(jnp.bfloat16), train=False).astype(jnp.float32)
             ),
-            v, x,
+            v, x, floor,
         )
         head = build_head("ce", 192, 251)
         opt = make_optimizer(start_lr=1e-3)
@@ -74,12 +161,12 @@ def main():
                   augment=(0.35, 1, 0.15, 1, 0.5))
         state, m = train_step(state, wav, lengths, speakers, **kw)
         float(m["loss"])
-        n = 8
+        n = 32
         t0 = time.perf_counter()
         for _ in range(n):
             state, m = train_step(state, wav, lengths, speakers, **kw)
         float(m["loss"])
-        dt_train = (time.perf_counter() - t0) / n
+        dt_train = (time.perf_counter() - t0 - floor) / n
         rows.append(
             (size.upper(), model.n_mega_blocks, params_m,
              dt_inf * 1e3, B / dt_inf, dt_train * 1e3, B / dt_train)
@@ -90,7 +177,8 @@ def main():
         f.write(
             "# Benchmarks — TPU v5e, one chip\n\n"
             f"3-second utterances (301 mel frames), batch {B}, bf16 activations,\n"
-            "rbg PRNG, device-side chained timing (see bench.py methodology).\n"
+            "rbg PRNG, device-side chained timing with the relay's fixed\n"
+            "dispatch+readback floor subtracted (see Methodology below).\n"
             "Training step = wav -> on-device frontend + SpecAugment -> fwd+bwd\n"
             "-> Adam, CE head, 251 classes.\n\n"
             "| model | mega blocks | params (M) | infer ms/batch | infer utt/s | "
@@ -103,9 +191,11 @@ def main():
             )
         f.write(
             "\nHeadline (bench.py, B=128): TitaNet-S mel->embedding "
-            "~29-30k utt/s/chip — ~1900x the CPU PyTorch reference measured "
-            "on this host (~16 utt/s).\n"
+            "**41.2k utt/s/chip — 2492x** the CPU PyTorch reference measured "
+            "on this host (16.5 utt/s). Train step (bench_train.py, B=128): "
+            "3.87k utt/s = 1181x the reference's CPU train step.\n"
         )
+        f.write(EXTRA_SECTIONS)
     print("wrote BENCHMARKS.md")
 
 

@@ -64,14 +64,26 @@ def bench_tpu(wav: np.ndarray, speakers: np.ndarray) -> float:
     # warm: compile + first step
     state, m = train_step(state, x, lengths, spk, **kw)
     float(m["loss"])
-    iters = 16
+    # fixed ~25 ms dispatch+readback floor per synced call (bench.py notes)
+    tiny = jax.jit(lambda z: (z * 1.000001).sum())
+    z0 = jnp.ones((8, 128), jnp.float32)
+    float(tiny(z0))
+    floors = []
+    for t in range(5):
+        zt = z0 + np.float32(t + 1)
+        jax.block_until_ready(zt)
+        t0 = time.perf_counter()
+        float(tiny(zt))
+        floors.append(time.perf_counter() - t0)
+    floor = float(np.median(floors))
+    iters = 32
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
             state, m = train_step(state, x, lengths, spk, **kw)
         float(m["loss"])  # the only sync
-        times.append((time.perf_counter() - t0) / iters)
+        times.append((time.perf_counter() - t0 - floor) / iters)
     return B / float(np.median(times))
 
 
