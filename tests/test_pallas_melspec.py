@@ -80,3 +80,43 @@ def test_frontend_config_dispatches_to_fused_kernel():
     out1, _ = log_mel_spectrogram(wav[0], cfg)
     assert out1.shape == ref1.shape
     np.testing.assert_allclose(np.asarray(out1), np.asarray(ref1), rtol=2e-3, atol=2e-4)
+
+
+def test_fused_kernel_nondefault_geometries():
+    """Phase decomposition generalizes: hop=80 -> 8 phases; n_fft=256 ->
+    fewer spill matmuls; parity vs the jnp path for each."""
+    from titanet_tpu.ops.frontend import FrontendConfig
+    from titanet_tpu.ops.pallas.melspec import (
+        fused_kernel_supports,
+        log_mel_spectrogram_pallas_fused,
+    )
+
+    rng = np.random.default_rng(5)
+    wav = jnp.asarray(rng.standard_normal((2, 16000)) * 0.1, jnp.float32)
+    for cfg in (
+        FrontendConfig(n_fft=512, win_length=400, hop_length=80),
+        FrontendConfig(n_fft=256, win_length=200, hop_length=160),
+    ):
+        assert fused_kernel_supports(cfg)
+        ref, _ = log_mel_spectrogram(wav, cfg)
+        out, _ = log_mel_spectrogram_pallas_fused(wav, cfg)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-4,
+            err_msg=f"hop={cfg.hop_length} n_fft={cfg.n_fft}",
+        )
+
+
+def test_fused_kernel_unsupported_geometry_falls_back():
+    """n_fft > lcm(hop, 128): use_pallas_fused must fall back to XLA."""
+    from titanet_tpu.ops.frontend import FrontendConfig
+    from titanet_tpu.ops.pallas.melspec import fused_kernel_supports
+
+    cfg = FrontendConfig(n_fft=512, win_length=400, hop_length=128,
+                         use_pallas_fused=True)
+    assert not fused_kernel_supports(cfg)
+    rng = np.random.default_rng(6)
+    wav = jnp.asarray(rng.standard_normal((2, 16000)) * 0.1, jnp.float32)
+    ref, _ = log_mel_spectrogram(
+        wav, FrontendConfig(n_fft=512, win_length=400, hop_length=128))
+    out, _ = log_mel_spectrogram(wav, cfg)  # falls back, no assert/error
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)

@@ -357,9 +357,15 @@ def log_mel_spectrogram(
     """
     if cfg.use_pallas_fused and mel_fb is None:
         # Lazy import: ops.pallas.melspec imports this module.
-        from titanet_tpu.ops.pallas.melspec import log_mel_spectrogram_pallas_fused
+        from titanet_tpu.ops.pallas.melspec import (
+            fused_kernel_supports,
+            log_mel_spectrogram_pallas_fused,
+        )
 
-        return log_mel_spectrogram_pallas_fused(waveform, cfg, lengths=lengths)
+        if fused_kernel_supports(cfg):
+            return log_mel_spectrogram_pallas_fused(waveform, cfg, lengths=lengths)
+        # geometry outside the kernel's phase decomposition
+        # (n_fft > lcm(hop, 128)) -> fall through to the XLA paths
     if mel_fb is None:
         mel_fb = jnp.asarray(
             mel_filterbank(cfg.n_fft // 2 + 1, cfg.n_mels, cfg.sample_rate)

@@ -125,6 +125,14 @@ def _lcm(a: int, b: int) -> int:
     return a * b // math.gcd(a, b)
 
 
+def fused_kernel_supports(cfg: FrontendConfig) -> bool:
+    """True when the phase decomposition covers this geometry: each frame
+    may spill into at most ONE following row, i.e. n_fft <= lcm(hop, 128).
+    Callers (ops.frontend.log_mel_spectrogram) fall back to the XLA paths
+    otherwise."""
+    return cfg.n_fft <= _lcm(cfg.hop_length, _LANES)
+
+
 @functools.lru_cache(maxsize=8)
 def _phase_basis(cfg: FrontendConfig):
     """Windowed DFT basis arranged for phase-decomposed framing.
