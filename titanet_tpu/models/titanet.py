@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from titanet_tpu.ops.conv import DepthwiseSeparableConv1d, SamePadConv1d, torch_conv_init
-from titanet_tpu.ops.norm import BatchNorm
+from titanet_tpu.ops.norm import BatchNorm, FastDropout
 from titanet_tpu.ops.pooling import AttentiveStatsPooling, SimplePooling
 from titanet_tpu.ops.se import SqueezeExcitation
 
@@ -84,7 +84,7 @@ class ConvBlock1d(nn.Module):
         elif self.activation is not None:
             raise ValueError(f"Incompatible activation {self.activation!r}")
         if self.dropout > 0:
-            x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
+            x = FastDropout(rate=self.dropout, deterministic=not train)(x)
         return x
 
 
@@ -143,7 +143,7 @@ class MegaBlock(nn.Module):
         )(skip, mask=mask if train else None)
 
         out = nn.relu(skip + y)
-        return nn.Dropout(rate=self.dropout, deterministic=not train)(out)
+        return FastDropout(rate=self.dropout, deterministic=not train)(out)
 
 
 class Encoder(nn.Module):
