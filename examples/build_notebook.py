@@ -88,6 +88,19 @@ print("speaker", ex["speaker"], "| shape", ex["waveform"].shape, "|", ex["sample
 plt.figure(figsize=(10, 2))
 plt.plot(ex["waveform"][0][:16000]); plt.title("first second"); plt.show()
 play_audio(ex["waveform"], ex["sample_rate"])  # audio widget in Jupyter"""),
+    ("md", """\
+Verification needs **pairs**: `get_sample_pairs` enumerates the all-pairs
+product over a fixed speakers x utterances grid (reference
+`src/datasets.py:165-183` — the same protocol `test()` scores), and
+`get_random_utterances` drives the per-epoch embedding figures."""),
+    ("code", """\
+pairs = list(ds.get_sample_pairs(indices=range(0, 60, 10)))  # 6 speakers
+print(f"{len(pairs)} pairs over 6 utterances,",
+      sum(1 for _, _, same in pairs if same), "same-speaker")
+utts, utt_speakers = ds.get_random_utterances(
+    n_speakers=4, n_utterances_per_speaker=2, seed=0)
+print("random utterance grid:", len(utts), "examples from",
+      len(set(utt_speakers)), "speakers")"""),
 
     # ------------------------------------------------------------ frontend
     ("md", """\
@@ -170,6 +183,22 @@ play_audio(np.asarray(wet), cfg.sample_rate)
 
 down = resample(wav, 16000, 8000)        # torchaudio-exact sinc resampler
 print("16k -> 8k:", wav.shape, "->", down.shape)"""),
+    ("md", """\
+Speed perturbation has the reference's two flavors
+(`src/transforms.py:78-108`): **discrete** rates with exact polyphase sinc
+resampling (kernels cached per rate) and sox-style **continuous** rates
+(`SpeedConfig(continuous=True)`, rate ~ U(min, max) per utterance). A 1.05x
+speedup shortens the waveform by ~4.8% at the same sample rate:"""),
+    ("code", """\
+fig, axes = plt.subplots(2, 1, figsize=(10, 4), sharex=True)
+seg = np.asarray(wav[0][2000:2400])
+seg_fast = np.asarray(fast[0][int(2000/1.05):int(2000/1.05)+400])
+axes[0].plot(seg); axes[0].set_title("original (400 samples)")
+axes[1].plot(seg_fast); axes[1].set_title("1.05x speed (same span: pitch+tempo shift)")
+plt.show()
+from titanet_tpu.data import SpeedConfig
+print("discrete:", SpeedConfig(enabled=True, rates=(0.95, 1.0, 1.05)))
+print("continuous:", SpeedConfig(enabled=True, rates=(0.95, 1.05), continuous=True))"""),
     ("code", """\
 # RandomChunk lives in the loader (reference src/transforms.py:206-233):
 # utterances over max_length get a random 1.5/2/3 s window
@@ -189,6 +218,20 @@ reference `src/models.py:173`); `n_mega_blocks=None` solves for the block
 count in closed form (the reference brute-forced 1-19,
 `src/models.py:230-260`). Baselines: `DumbConvNet` (smoke tests) and the
 `DVectorBaseline` LSTM."""),
+    ("md", """\
+### Architecture
+
+The encoder is a prolog `ConvBlock(n_mels -> H, k=3)`, N **mega blocks**,
+and an epilog `ConvBlock(H -> 1536, k=1)` (reference
+`src/models.py:342-472`). Each mega block is 3 depthwise-separable
+ConvBlocks (grouped K-tap conv + 1x1 pointwise, BatchNorm, ReLU, dropout)
+-> squeeze-excitation (global mean over time -> FC(C/16) -> sigmoid gate),
+summed with a 1x1-conv+BN skip, then ReLU+dropout. The decoder pools with
+**attentive statistics**: per-frame energies `Linear(1536->128) -> tanh ->
+Linear(128->1536)`, softmax over time, weighted mean ++ weighted std
+`[B, 3072]`, then BN -> Linear(3072->192) -> BN. TPU layout: channels-last,
+pointwise convs are `[B*T, C] @ [C, F]` MXU matmuls, depthwise taps run on
+the VPU."""),
     ("code", """\
 from titanet_tpu.models import (
     DumbConvNet, DVectorBaseline, count_params, find_n_mega_blocks, get_titanet,
@@ -199,6 +242,19 @@ for size in "sml":
     print(f"TitaNet-{size.upper()}: {m.n_mega_blocks:>2} mega blocks, "
           f"{count_params(m)/1e6:6.2f} M params")
 print("block search for M:", find_n_mega_blocks(model_size="m"))"""),
+    ("code", """\
+# the reference brute-forced n_mega_blocks in 1..19 against the paper's
+# parameter targets (src/models.py:230-260); params are LINEAR in N, so the
+# rebuild solves it in closed form. Sweep to see why 18 is TitaNet-S:
+from titanet_tpu.models import TARGET_PARAMS
+
+ns = range(1, 20)
+counts = [count_params(get_titanet(model_size="s", n_mega_blocks=n)) / 1e6
+          for n in ns]
+plt.figure(figsize=(8, 3))
+plt.plot(list(ns), counts, marker="o", label="params(N)")
+plt.axhline(TARGET_PARAMS["s"], ls="--", c="gray", label="paper target 6.4M")
+plt.xlabel("n_mega_blocks"); plt.ylabel("M params"); plt.legend(); plt.show()"""),
     ("code", """\
 model_s = get_titanet(model_size="s", n_mega_blocks=17)
 v = jax.jit(model_s.init)(jax.random.key(0), jnp.zeros((1, 301, 80)))
@@ -266,6 +322,38 @@ plt.figure(figsize=(8, 3))
 plt.plot([m["train/avg_loss"] for m in history], marker="o", label="train loss")
 plt.plot([m.get("train/accuracy", np.nan) for m in history], marker="s", label="train acc")
 plt.xlabel("epoch"); plt.legend(); plt.title("smoke training"); plt.show()"""),
+    ("md", """\
+Checkpoints carry the FULL train state — backbone, head (the reference
+dropped head weights, `src/learn.py:188-195`), optimizer moments and the
+PRNG key — and **resume** (a capability the reference lacks):"""),
+    ("code", """\
+import tempfile
+from titanet_tpu.train.checkpoint import restore_latest, save_checkpoint
+
+ckpt_dir = tempfile.mkdtemp(prefix="titanet_demo_ckpt_")
+save_checkpoint(ckpt_dir, epoch=len(history), state=state)
+abstract = jax.tree.map(jnp.zeros_like, jax.device_get(state))
+restored, at_epoch = restore_latest(ckpt_dir, abstract)
+same = jax.tree.reduce(
+    lambda a, x: a and x,
+    jax.tree.map(lambda a, b: bool(jnp.allclose(a, b)),
+                 jax.device_get(state).params, restored.params), True)
+print(f"restored epoch {at_epoch}, params identical: {same}")"""),
+    ("md", """\
+A **baseline comparison** (the reference trains a d-vector/DumbConvNet
+baseline against TitaNet): the smoke-test convnet trains on the same
+loader; section 9 scores both on verification."""),
+    ("code", """\
+base_model = DumbConvNet(hidden_size=32, embedding_size=192, n_layers=2)
+base_head = build_head("ce", 192, n_speakers)
+base_state = create_train_state(jax.random.key(2), base_model, base_head,
+                                opt, jnp.zeros((2, 151, 80)), n_speakers)
+for epoch in range(1, (2 if FAST else 4)):
+    base_state, bmetrics, _ = train_one_epoch(
+        epoch, 3, base_state, loader, model=base_model, head=base_head,
+        optimizer=opt, frontend=cfg)
+print(f"baseline final loss {bmetrics['train/avg_loss']:.3f} "
+      f"acc {bmetrics.get('train/accuracy', float('nan')):.3f}")"""),
     ("code", """\
 # Karpathy-recipe gradient-leakage check (reference chart_dependencies,
 # src/utils.py:451-468): one batch element's loss must not receive
@@ -340,6 +428,35 @@ if not FAST:
     ("code", """\
 scores, labels = all_pairs_scores_labels(vectors, speakers)
 get_test_metrics(scores, labels, prefix="demo")"""),
+    ("md", """\
+Genuine vs impostor **score distributions** — the gap between the two
+histograms is what EER/minDCF quantify — and the reference's
+baseline-vs-TitaNet comparison on the same protocol:"""),
+    ("code", """\
+plt.figure(figsize=(8, 3))
+plt.hist(scores[labels == 1], bins=40, alpha=0.6, density=True, label="genuine")
+plt.hist(scores[labels == 0], bins=40, alpha=0.6, density=True, label="impostor")
+plt.xlabel("cosine score"); plt.legend(); plt.title("verification scores"); plt.show()"""),
+    ("code", """\
+base_emb = SpeakerEmbedder(base_model, base_state.params["backbone"],
+                           base_state.batch_stats, frontend=cfg,
+                           buckets=[24000, 48000], batch_size=16)
+base_vectors = base_emb.embed(wavs)
+b_scores, b_labels = all_pairs_scores_labels(base_vectors, speakers)
+print("baseline:", get_test_metrics(b_scores, b_labels, prefix="base"))
+print("titanet :", get_test_metrics(scores, labels, prefix="titanet"))"""),
+    ("md", """\
+**Cross-corpus generalization** (the reference's VCTK section: embed a
+corpus the model never trained on): the model trained on the easy corpus
+embeds the HARD corpus' held-out speakers — clusters degrade but survive,
+and you can hear/see why with the earlier EDA tools."""),
+    ("code", """\
+hard_wavs = [hard[i]["waveform"][0] for i in range(0, min(len(hard), 60))]
+hard_speakers = [hard[i]["speaker_id"] for i in range(0, min(len(hard), 60))]
+hard_vectors = emb.embed(hard_wavs)
+visualize_embeddings(hard_vectors, hard_speakers, reduction_method="svd", show=True)
+h_scores, h_labels = all_pairs_scores_labels(hard_vectors, hard_speakers)
+print("cross-corpus:", get_test_metrics(h_scores, h_labels, prefix="xcorpus"))"""),
 
     # ----------------------------------------------------------- multichip
     ("md", """\
