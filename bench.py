@@ -54,16 +54,9 @@ def bench_tpu(mel: np.ndarray) -> float:
     # subtracted from each chain's wall time.
     iters = 64
 
-    tiny = jax.jit(lambda z: (z * 1.000001).sum())
-    float(tiny(x0_f := jnp.ones((8, 128), jnp.float32)))
-    floors = []
-    for t in range(5):
-        zt = x0_f + np.float32(t + 1)
-        jax.block_until_ready(zt)
-        t0 = time.perf_counter()
-        float(tiny(zt))
-        floors.append(time.perf_counter() - t0)
-    floor = float(np.median(floors))
+    from bench_util import measure_rtt_floor
+
+    floor = measure_rtt_floor()
 
     def chained(v, x0):
         def body(i, carry):

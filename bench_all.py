@@ -10,25 +10,7 @@ import time
 import numpy as np
 
 
-def measure_rtt_floor():
-    """Fixed dispatch+readback cost of ONE synced call through the
-    remote-TPU relay (~25-29 ms here), independent of device work.
-    Subtracted from every chain timing; see the methodology section
-    this script writes into BENCHMARKS.md."""
-    import jax
-    import jax.numpy as jnp
-
-    tiny = jax.jit(lambda z: (z * 1.000001).sum())
-    z0 = jnp.ones((8, 128), jnp.float32)
-    float(tiny(z0))
-    ts = []
-    for t in range(5):
-        zt = z0 + np.float32(t + 1)
-        jax.block_until_ready(zt)
-        t0 = time.perf_counter()
-        float(tiny(zt))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+from bench_util import measure_rtt_floor
 
 
 def chain_time(fn, v, x, floor, iters=64):
@@ -57,6 +39,18 @@ def chain_time(fn, v, x, floor, iters=64):
 
 
 EXTRA_SECTIONS = """
+(The sections below quote bench_frontend.py / bench_quantized.py runs and
+ablation experiments from 2026-08-16; re-run those scripts for current
+numbers.)
+
+Train-step budget at B=128 (measured by ablation): frontend+SpecAugment
+2.7 ms, fwd+bwd 25.3 ms of which dropout ~7 ms (after FastDropout's
+integer-compare masks; was 8.6 with nn.Dropout), Adam + metrics the rest.
+B=128 is the sweet spot — B=256/512 drop to 3.2k/2.6k utt/s. Two recorded
+negative results: depthwise conv as shifted multiply-adds (faster in
+isolation, -24% in context — breaks XLA fusion chains) and bf16 frontend
+in training (-3% only; the frontend is a small slice).
+
 ## Methodology (remote-TPU relay; hard-won)
 
 Chained device-side timing: one jitted chain of N calls where every
@@ -73,11 +67,12 @@ per-batch numbers by ~0.8 ms; round-1 numbers carried that inflation).
 |---|---|---|
 | XLA strided-frame + GEMM DFT | **1.02 ms** | 0.37 ms |
 | XLA conv-DFT (implicit GEMM) | 1.18 ms | 1.02 ms |
-| Pallas DFT..norm (XLA framing) | 1.69 ms | 1.70 ms |
+| Pallas DFT..norm (XLA framing) | 1.69 ms | 0.84 ms |
 | Pallas fully-fused (framing in-kernel) | 1.42 ms | **0.26 ms** |
 
 At serving precision the fully-fused kernel is the fastest wav->mel path on
-the chip (**1.4x the best XLA pipeline**, ~490k utt/s): framing is
+the chip (**1.3-1.4x the best XLA pipeline** across runs, ~460-490k
+utt/s): framing is
 phase-decomposed into lane-aligned MXU matmuls against a resident basis, so
 the frames tensor (3.2x the waveform bytes) and the complex spectrum never
 touch HBM, and bf16 operands run the MXU at its full rate. At 'highest'
@@ -190,10 +185,10 @@ def main():
                 f"{r[4]:.0f} | {r[5]:.1f} | {r[6]:.0f} |\n"
             )
         f.write(
-            "\nHeadline (bench.py, B=128): TitaNet-S mel->embedding "
-            "**41.2k utt/s/chip — 2492x** the CPU PyTorch reference measured "
-            "on this host (16.5 utt/s). Train step (bench_train.py, B=128): "
-            "3.87k utt/s = 1181x the reference's CPU train step.\n"
+            "\nHeadlines at B=128 are produced by the one-line JSON scripts "
+            "(run them for current numbers; last recorded values live in "
+            "README.md): `python bench.py` (mel->embedding utt/s/chip vs the "
+            "CPU reference) and `python bench_train.py` (train-step utt/s).\n"
         )
         f.write(EXTRA_SECTIONS)
     print("wrote BENCHMARKS.md")

@@ -24,27 +24,7 @@ SR = 16000
 N = int(T_SECONDS * SR)
 ITERS = 128
 
-
-def measure_rtt_floor():
-    """A synced call through the remote-TPU relay costs a fixed ~25 ms
-    (dispatch + value-readback RTT) regardless of device work. Measure it
-    with a trivial jitted op and subtract it from every chain timing —
-    at ITERS=32 the floor would otherwise inflate per-batch time by
-    ~0.8 ms (measured; see BENCHMARKS.md methodology)."""
-    import jax
-    import jax.numpy as jnp
-
-    x0 = jnp.ones((8, 128), jnp.float32)
-    tiny = jax.jit(lambda x: (x * 1.000001).sum())
-    float(tiny(x0))
-    ts = []
-    for t in range(5):
-        xt = x0 + np.float32(t + 1)
-        jax.block_until_ready(xt)
-        t0 = time.perf_counter()
-        float(tiny(xt))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+from bench_util import measure_rtt_floor  # noqa: E402
 
 
 def main():

@@ -30,18 +30,10 @@ def main():
     )
 
     rng = np.random.default_rng(0)
-    # fixed ~25 ms dispatch+readback floor per synced call (bench.py notes)
-    tiny = jax.jit(lambda z: (z * 1.000001).sum())
-    z0 = jnp.ones((8, 128), jnp.float32)
-    float(tiny(z0))
-    floors = []
-    for t in range(5):
-        zt = z0 + np.float32(t + 1)
-        jax.block_until_ready(zt)
-        t0 = time.perf_counter()
-        float(tiny(zt))
-        floors.append(time.perf_counter() - t0)
-    floor = float(np.median(floors))
+    # fixed ~25 ms dispatch+readback floor per synced call (bench_util)
+    from bench_util import measure_rtt_floor
+
+    floor = measure_rtt_floor()
     print(json.dumps({"rtt_floor_ms": round(floor * 1e3, 2), "iters": ITERS}))
 
     model_bf16 = get_titanet(model_size="s", n_mega_blocks=17, dtype=jnp.bfloat16)

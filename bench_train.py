@@ -64,18 +64,10 @@ def bench_tpu(wav: np.ndarray, speakers: np.ndarray) -> float:
     # warm: compile + first step
     state, m = train_step(state, x, lengths, spk, **kw)
     float(m["loss"])
-    # fixed ~25 ms dispatch+readback floor per synced call (bench.py notes)
-    tiny = jax.jit(lambda z: (z * 1.000001).sum())
-    z0 = jnp.ones((8, 128), jnp.float32)
-    float(tiny(z0))
-    floors = []
-    for t in range(5):
-        zt = z0 + np.float32(t + 1)
-        jax.block_until_ready(zt)
-        t0 = time.perf_counter()
-        float(tiny(zt))
-        floors.append(time.perf_counter() - t0)
-    floor = float(np.median(floors))
+    # fixed ~25 ms dispatch+readback floor per synced call (bench_util)
+    from bench_util import measure_rtt_floor
+
+    floor = measure_rtt_floor()
     iters = 32
     times = []
     for _ in range(3):

@@ -120,3 +120,22 @@ def test_fused_kernel_unsupported_geometry_falls_back():
         wav, FrontendConfig(n_fft=512, win_length=400, hop_length=128))
     out, _ = log_mel_spectrogram(wav, cfg)  # falls back, no assert/error
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+def test_fused_kernel_misaligned_offset_geometry():
+    """hop=40: phase offsets aren't sublane-tile multiples — the math must
+    still be exact (hardware compiles misaligned sublane reads via
+    relayouts; interpret mode checks the decomposition itself)."""
+    from titanet_tpu.ops.frontend import FrontendConfig
+    from titanet_tpu.ops.pallas.melspec import (
+        fused_kernel_supports,
+        log_mel_spectrogram_pallas_fused,
+    )
+
+    cfg = FrontendConfig(n_fft=512, win_length=400, hop_length=40)
+    assert fused_kernel_supports(cfg)
+    rng = np.random.default_rng(7)
+    wav = jnp.asarray(rng.standard_normal((1, 8000)) * 0.1, jnp.float32)
+    ref, _ = log_mel_spectrogram(wav, cfg)
+    out, _ = log_mel_spectrogram_pallas_fused(wav, cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-4)

@@ -354,6 +354,11 @@ def log_mel_spectrogram(
     power spectrogram -> mel scale -> dB -> L2-normalize over mels. When
     ``lengths`` is given, frames at/after ``1 + length // hop`` are zeroed
     (identical to reference zero-padded collation, src/datasets.py:64-71).
+
+    ``cfg.use_pallas_fused`` routes through the single fused TPU kernel —
+    but only when ``mel_fb`` is None (the kernel builds its own filterbank;
+    a caller-supplied ``mel_fb`` forces the XLA path) and the geometry is
+    supported (``fused_kernel_supports``; falls back to XLA otherwise).
     """
     if cfg.use_pallas_fused and mel_fb is None:
         # Lazy import: ops.pallas.melspec imports this module.

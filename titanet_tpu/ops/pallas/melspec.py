@@ -65,14 +65,15 @@ def _fused_weights(cfg: FrontendConfig) -> Tuple[np.ndarray, np.ndarray, np.ndar
     return basis, fb_pad, n_bins
 
 
-def _mel_kernel(frames_ref, basis_ref, fb_ref, out_ref, *, bins_pad, n_mels):
+def _mel_kernel(frames_ref, basis_ref, fb_ref, out_ref, *, bins_pad, n_mels, prec):
     frames = frames_ref[:]  # [TN, n_fft]
-    # HIGHEST precision: the MXU's native bf16 passes lose ~5e-2 through the
-    # power->dB->L2 chain (power spans 1e-10..1); the DFT is parity-critical.
+    # HIGHEST precision by default: the MXU's bf16 passes lose ~5e-2 through
+    # the power->dB->L2 chain (power spans 1e-10..1); the DFT is
+    # parity-critical. cfg.precision='default' trades that for speed.
     spec = jnp.dot(
         frames, basis_ref[:],
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )
     re = spec[:, :bins_pad]
     im = spec[:, bins_pad:]
@@ -80,7 +81,7 @@ def _mel_kernel(frames_ref, basis_ref, fb_ref, out_ref, *, bins_pad, n_mels):
     mel = jnp.dot(
         power, fb_ref[:],
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )
     db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
     # L2 norm over the real mel bins only (padded lanes hold 10*log10(1e-10))
@@ -100,8 +101,15 @@ def _mel_frames_pallas(frames: jax.Array, cfg: FrontendConfig, block: int = 256)
     if n_pad != n:
         frames = jnp.pad(frames, ((0, n_pad - n), (0, 0)))
     grid = (n_pad // block,)
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if cfg.precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
     out = pl.pallas_call(
-        functools.partial(_mel_kernel, bins_pad=bins_pad, n_mels=cfg.n_mels),
+        functools.partial(
+            _mel_kernel, bins_pad=bins_pad, n_mels=cfg.n_mels, prec=prec
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block, cfg.n_fft), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -174,8 +182,12 @@ def _phase_basis(cfg: FrontendConfig):
     basis[:, :n_bins] = cos_m * window
     basis[:, n_bins : 2 * n_bins] = sin_m * window
     # Epad = [lead zeros | basis | tail zeros]; lead absorbs the largest
-    # (sA - off) shift, tail lets every slice stay in bounds. 16-row granule
-    # covers both f32 (8,128) and bf16 (16,128) tilings.
+    # (sA - off) shift, tail lets every slice stay in bounds. The 16-row
+    # rounding makes the default geometries' slice offsets tile-aligned
+    # (hop=160 -> offsets {0,32,64,96}); other hops can yield offsets that
+    # are NOT sublane-tile multiples — Mosaic still compiles those (the
+    # kernel's own W[1:M+1] spill slice is offset-1 and runs on hardware),
+    # just via slower relayout reads.
     lead = max(hop * p - 128 * ((hop * p) // 128) for p in range(p_phases))
     lead = _round_up(lead, 16)
     slices = []

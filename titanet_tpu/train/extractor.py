@@ -59,9 +59,11 @@ class SpeakerEmbedder:
         self.window_overlap = window_overlap
         self.qtree = None
         if quantized:
-            # int8 encoder matmuls (titanet_tpu.models.quantized): ~2x MXU
-            # peak on TPU, embedding cosine vs f32 measured in
-            # tests/test_quantized.py and BENCHMARKS.md
+            # int8 encoder matmuls (titanet_tpu.models.quantized): 4x weight
+            # compression at >=0.9997 embedding cosine vs f32 — but MEASURED
+            # SLOWER than bf16 on TPU v5e (int8 matmuls don't outrun bf16
+            # through XLA/Mosaic there; BENCHMARKS.md "quality yes, speed
+            # no"). Use for memory-constrained serving, not throughput.
             from titanet_tpu.models.quantized import quantize_titanet
 
             import jax
