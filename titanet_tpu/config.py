@@ -239,6 +239,11 @@ class AudioConfig:
     # 'highest' (torchaudio-parity DFT/mel matmuls) or 'default' (MXU bf16
     # passes; ~4x faster frontend, fine as training noise)
     frontend_precision: str = "highest"
+    # Route the frontend through the fully-fused Pallas TPU kernel
+    # (ops/pallas/melspec.py) — the measured-fastest wav->mel path at
+    # 'default' precision (BENCHMARKS.md). TPU-only; SpecAugment-enabled
+    # training keeps its own stretch-aware path regardless.
+    use_pallas_fused: bool = False
 
 
 @_register
