@@ -43,9 +43,11 @@ EXTRA_SECTIONS = """
 ablation experiments from 2026-08-16; re-run those scripts for current
 numbers.)
 
-Train-step budget at B=128 (measured by ablation): frontend+SpecAugment
-2.7 ms, fwd+bwd 25.3 ms of which dropout ~7 ms (after FastDropout's
-integer-compare masks; was 8.6 with nn.Dropout), Adam + metrics the rest.
+Train-step budget at B=128 (profiler trace, 29.6 ms total): convolution
+fusions 15.1 ms (fwd+bwd GEMMs, ~50% MFU), elementwise loop fusions
+~8 ms (dropout masks, BN, SpecAugment interp, Adam), layout copies
+3.0 ms, PRNG bits ~0.6 ms (uint8 FastDropout masks; nn.Dropout's
+uniform-float masks at uint32 cost 8.6 ms all-in).
 B=128 is the sweet spot — B=256/512 drop to 3.2k/2.6k utt/s. Two recorded
 negative results: depthwise conv as shifted multiply-adds (faster in
 isolation, -24% in context — breaks XLA fusion chains) and bf16 frontend

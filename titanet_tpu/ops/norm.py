@@ -131,8 +131,17 @@ class FastDropout(nn.Module):
             return x
         keep = 1.0 - self.rate
         key = self.make_rng("dropout")
-        bits = jax.random.bits(key, x.shape, jnp.uint32)
-        thresh = jnp.uint32(min(int(keep * 2**32), 2**32 - 1))
+        # uint8 bits when the keep probability is exactly representable in
+        # 8 bits (it is for the reference's rate=0.5): 4x fewer PRNG words —
+        # bit generation alone measured 2.5 ms of a 32 ms TitaNet-S train
+        # step at uint32 (BENCHMARKS.md budget). Falls back to uint32 for
+        # rates that 8 bits would quantize.
+        if (keep * 256) == int(keep * 256):
+            bits = jax.random.bits(key, x.shape, jnp.uint8)
+            thresh = jnp.uint8(int(keep * 256) if keep < 1.0 else 255)
+        else:
+            bits = jax.random.bits(key, x.shape, jnp.uint32)
+            thresh = jnp.uint32(min(int(keep * 2**32), 2**32 - 1))
         return jnp.where(
             bits < thresh,
             x * jnp.asarray(1.0 / keep, x.dtype),
