@@ -93,6 +93,10 @@ Roofline: fused-kernel HBM traffic is ~1 KB/frame (wav in, mel out) = 45 us
 | wav->emb, fused frontend + bf16 encoder | **3.44 ms** | **37.2k** |
 | wav->emb, fused frontend + int8 encoder | 31.7 ms | 4.0k |
 
+Single-utterance (B=1) wav->emb device latency with the fused frontend:
+**0.13 ms** (chained measurement; a remote client additionally pays the
+relay's ~25 ms RTT — on-pod serving sees the device number).
+
 ## Int8 quantization: quality yes, speed no (on this stack)
 
 Post-training int8 (per-channel weights with folded BN, dynamic per-row
