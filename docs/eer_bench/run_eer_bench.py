@@ -27,6 +27,8 @@ RUNS = [
     ("bench2_ce_seed43", {"training.loss": "ce", "generic.seed": 43}),
     ("bench2_ce_seed44", {"training.loss": "ce", "generic.seed": 44}),
     ("bench3_arc_seed42", {"training.loss": "arc", "generic.seed": 42}),
+    ("bench3_arc_seed43", {"training.loss": "arc", "generic.seed": 43}),
+    ("bench3_arc_seed44", {"training.loss": "arc", "generic.seed": 44}),
     (
         "bench4_m_fullaug_seed42",
         {
@@ -87,6 +89,7 @@ def main():
             json.dump(results, f, indent=2)
 
     ce = [r["eer"] for r in results if r["run"].startswith("bench2")]
+    arc = [r["eer"] for r in results if r["run"].startswith("bench3")]
     import numpy as np
 
     lines = [
@@ -113,10 +116,17 @@ def main():
             "",
             f"CE seed-to-seed: mean EER {np.mean(ce):.3f}, "
             f"std {np.std(ce):.3f} (n={len(ce)}).",
-            "",
-            "A nonzero, stable EER band — unlike the easy corpus's 0.0",
-            "ceiling — so verification-quality regressions are detectable.",
         ]
+    if len(arc) > 1:
+        lines += [
+            f"Arc seed-to-seed: mean EER {np.mean(arc):.3f}, "
+            f"std {np.std(arc):.3f} (n={len(arc)}).",
+        ]
+    lines += [
+        "",
+        "A nonzero, stable EER band — unlike the easy corpus's 0.0",
+        "ceiling — so verification-quality regressions are detectable.",
+    ]
     with open(os.path.join(OUT_DIR, "RESULTS.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))
