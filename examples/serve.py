@@ -29,7 +29,14 @@ def build_embedder(args):
     from titanet_tpu.ops.frontend import FrontendConfig, log_mel_spectrogram
     from titanet_tpu.train.extractor import SpeakerEmbedder
 
-    cfg = FrontendConfig.from_ms()
+    # --fast-frontend: the fully-fused Pallas wav->mel kernel at serving
+    # precision — the measured-fastest frontend on TPU (BENCHMARKS.md);
+    # keep the default (torchaudio-parity) frontend for bit-level parity.
+    cfg = (
+        FrontendConfig.from_ms(precision="default", use_pallas_fused=True)
+        if args.fast_frontend
+        else FrontendConfig.from_ms()
+    )
     model = get_titanet(model_size=args.model_size)
     mel0, _ = log_mel_spectrogram(jnp.zeros((1, 16000)), cfg)
     variables = jax.jit(model.init)(jax.random.key(0), mel0)
@@ -52,6 +59,8 @@ def build_embedder(args):
     emb = SpeakerEmbedder(
         model, params, stats, frontend=cfg,
         buckets=[16000, 32000, 48000, 96000], batch_size=args.batch_size,
+        quantized=args.quantized,  # int8: 4x weight compression (slower
+        #                            than bf16 on v5e — BENCHMARKS.md)
     )
     emb.warmup()
     return emb
@@ -107,6 +116,10 @@ def main():
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--checkpoint-dir", default=None)
     parser.add_argument("--n-classes", type=int, default=251)
+    parser.add_argument("--fast-frontend", action="store_true",
+                        help="fused Pallas frontend at serving precision")
+    parser.add_argument("--quantized", action="store_true",
+                        help="int8 encoder (4x weight compression)")
     args = parser.parse_args()
     embedder = build_embedder(args)
     server = HTTPServer(("127.0.0.1", args.port), make_handler(embedder))
