@@ -109,6 +109,18 @@ weight compression for memory-constrained serving); the speed path is bf16.
 Same honest-negative club as the fused mega-block kernel
 (`ops/pallas/megablock.py`: XLA's conv fusion wins, 11.5 vs 4.4 ms).
 
+## Host-side loader (bench_loader.py)
+
+FLAC decode (first-party C++ decoder) -> chunk -> padded collation on this
+1-core host: **~278 utt/s per host core** for 3 s utterances (threaded
+decode workers don't help at 1 core; they exist for multi-core hosts).
+Production math: the train step consumes ~4.3k utt/s/chip, so feeding one
+chip from raw FLAC needs ~16 host cores — or pre-decoded int16 storage
+(`transport_dtype="int16"` halves host->device bytes), per-host sharded
+loaders (multi-host wiring in `cli.py`), and the on-device frontend doing
+the rest (the reference instead re-ran STFT+mel per example per epoch on
+the host).
+
 ## Pallas scoreboard
 
 - **Win**: fully-fused wav->mel frontend, 1.4x best-XLA at serving
