@@ -112,7 +112,7 @@ Same honest-negative club as the fused mega-block kernel
 ## Host-side loader (bench_loader.py)
 
 FLAC decode (first-party C++ decoder) -> chunk -> padded collation on this
-1-core host: **~278 utt/s per host core** for 3 s utterances (threaded
+1-core host: **~278 utt/s** (single-core process) for 3 s utterances (threaded
 decode workers don't help at 1 core; they exist for multi-core hosts).
 Production math: the train step consumes ~4.3k utt/s/chip, so feeding one
 chip from raw FLAC needs ~16 host cores — or pre-decoded int16 storage

@@ -70,7 +70,7 @@ def main():
                 "metric": "loader FLAC->batch throughput",
                 "decode_workers": workers,
                 "value": round(n_utt / dt, 1),
-                "unit": "utt/s/host-core",
+                "unit": "utt/s (whole process; divide by active cores for per-core)",
                 "utterance_seconds": SECONDS,
                 "corpus_utterances": n_utt,
             }))

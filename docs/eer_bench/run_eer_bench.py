@@ -85,8 +85,12 @@ def main():
         print(f"[run] {name}")
         results.append(run_one(name, overrides))
         print(json.dumps(results[-1]))
+        # checkpoint progress after each executed run (crash-resume aid);
+        # the authoritative write with ALL rows happens after the loop
         with open(os.path.join(OUT_DIR, "summary.json"), "w") as f:
             json.dump(results, f, indent=2)
+    with open(os.path.join(OUT_DIR, "summary.json"), "w") as f:
+        json.dump(results, f, indent=2)
 
     ce = [r["eer"] for r in results if r["run"].startswith("bench2")]
     arc = [r["eer"] for r in results if r["run"].startswith("bench3")]

@@ -286,6 +286,7 @@ def _rebuild_state(cfg: Config, n_speakers: int):
         win_ms=cfg.audio.spectrogram.win_length,
         hop_ms=cfg.audio.spectrogram.hop_length,
         n_mels=cfg.audio.spectrogram.n_mels,
+        precision=cfg.audio.frontend_precision,
         use_pallas_fused=cfg.audio.use_pallas_fused,
     )
     model = build_model(cfg, dtype=dtype)
