@@ -237,3 +237,58 @@ def test_simple_pooling_masked():
     x_garbage = x.at[:, 6:, :].set(1e6)
     b = mod.apply(params, x_garbage, mask=mask)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
+def test_fast_dropout_statistics():
+    """ADVICE r2: keep fraction and 1/keep scaling, on both PRNG-width
+    paths — rate=0.5 (uint8 bits) and rate=0.3 (uint32 fallback)."""
+    from titanet_tpu.ops.norm import FastDropout
+
+    x = jnp.ones((256, 256), jnp.float32)
+    for rate, expect_scale in ((0.5, 2.0), (0.3, 1.0 / 0.7)):
+        mod = FastDropout(rate=rate)
+        out = mod.apply({}, x, rngs={"dropout": jax.random.key(7)})
+        out = np.asarray(out)
+        kept = out != 0.0
+        # kept values are scaled by exactly 1/keep
+        np.testing.assert_allclose(out[kept], expect_scale, rtol=1e-6)
+        # keep fraction within 4 sigma of binomial expectation
+        n = out.size
+        keep = 1.0 - rate
+        sigma = (keep * (1 - keep) / n) ** 0.5
+        assert abs(kept.mean() - keep) < 4 * sigma
+
+
+def test_fast_dropout_edge_rates():
+    from titanet_tpu.ops.norm import FastDropout
+
+    x = jnp.asarray(_rand(4, 8))
+    # rate=0 and deterministic: identity
+    out = FastDropout(rate=0.0).apply({}, x, rngs={"dropout": jax.random.key(0)})
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+    out = FastDropout(rate=0.7, deterministic=True).apply({}, x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+    # rate=1.0: all zeros (nn.Dropout semantics), not a ZeroDivisionError
+    out = FastDropout(rate=1.0).apply({}, x, rngs={"dropout": jax.random.key(0)})
+    assert np.all(np.asarray(out) == 0.0)
+
+
+def test_fused_frontend_fallback_warns_once():
+    """ADVICE r2: use_pallas_fused=True falling back to XLA must emit a
+    one-time warning naming the reason."""
+    import warnings
+
+    from titanet_tpu.ops import frontend as fe
+
+    cfg = fe.FrontendConfig.from_ms(use_pallas_fused=True)
+    wav = jnp.zeros((2, 4000), jnp.float32)
+    mel_fb = jnp.asarray(
+        fe.mel_filterbank(cfg.n_fft // 2 + 1, cfg.n_mels, cfg.sample_rate)
+    )
+    fe._warned_fused_fallback.clear()
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        fe.log_mel_spectrogram(wav, cfg, mel_fb=mel_fb)  # forced XLA path
+        fe.log_mel_spectrogram(wav, cfg, mel_fb=mel_fb)  # same reason: silent
+    msgs = [str(w.message) for w in rec if "use_pallas_fused" in str(w.message)]
+    assert len(msgs) == 1 and "mel_fb" in msgs[0]

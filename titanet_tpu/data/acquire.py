@@ -47,6 +47,15 @@ VOX2_DEV_URLS = tuple(
 VOX2_TEST_URL = "http://cnode01.mm.kaist.ac.kr/voxceleb/vox1a/vox2_test_aac.zip"
 VOX2_TEST_SHA256 = "e4d9200107a7bc60f0b620d5dc04c3aab66681b649f9c218380ac43c6c722079"
 
+# VoxCeleb1 archives are already-wav (no m4a transcode step). The reference
+# delegated to torchaudio's VoxCeleb1 downloader (src/datasets.py:373-377),
+# which fetches these same multi-part dev archives + test zip.
+VOX1_DEV_URLS = tuple(
+    f"http://cnode01.mm.kaist.ac.kr/voxceleb/vox1a/vox1_dev_wav_part{p}"
+    for p in ("aa", "ab", "ac", "ad")
+)
+VOX1_TEST_URL = "http://cnode01.mm.kaist.ac.kr/voxceleb/vox1a/vox1_test_wav.zip"
+
 
 def fetch_librispeech(
     root: str,
@@ -158,6 +167,54 @@ def reassemble_parts(part_paths: Sequence[str], out_path: str) -> str:
             with open(part, "rb") as f:
                 shutil.copyfileobj(f, out, 1 << 20)
     return out_path
+
+
+def fetch_voxceleb1(
+    root: str,
+    dev_urls: Sequence[str] = VOX1_DEV_URLS,
+    test_url: Optional[str] = VOX1_TEST_URL,
+    test_sha256: Optional[str] = None,
+    username: Optional[str] = VOX2_USERNAME,
+    password: Optional[str] = VOX2_PASSWORD,
+    progress: bool = True,
+) -> str:
+    """VoxCeleb1 acquisition (reference delegates to torchaudio's VoxCeleb1
+    downloader when the root is missing, src/datasets.py:373-377): authed
+    multi-part dev wav download -> zip reassembly -> extraction; test zip
+    download with optional checksum. VoxCeleb1 ships wav (not m4a), so no
+    transcode pass. Returns ``root/wav``."""
+    wav_dir = os.path.join(root, "wav")
+    if os.path.isdir(wav_dir):
+        return wav_dir
+    os.makedirs(root, exist_ok=True)
+
+    archives = []
+    if dev_urls:
+        parts = []
+        for url in dev_urls:
+            part_path = os.path.join(root, os.path.basename(url.split("?")[0]))
+            download_url_to_file(
+                url, part_path, username=username, password=password,
+                progress=progress,
+            )
+            parts.append(part_path)
+        dev_zip = os.path.join(root, "vox1_dev_wav.zip")
+        reassemble_parts(parts, dev_zip)
+        for part in parts:
+            os.remove(part)
+        archives.append(dev_zip)
+    if test_url:
+        test_zip = os.path.join(root, os.path.basename(test_url.split("?")[0]))
+        download_url_to_file(
+            test_url, test_zip, username=username, password=password,
+            hash_prefix=test_sha256, progress=progress,
+        )
+        archives.append(test_zip)
+
+    for archive in archives:
+        extract_archive(archive, root)
+        os.remove(archive)
+    return wav_dir
 
 
 def fetch_voxceleb2(

@@ -292,20 +292,32 @@ class VoxCelebDataset(SpeakerDataset):
     """VoxCeleb1/2 layout: ``root/wav/<speaker>/<video>/<utt>.wav``
     (reference src/datasets.py:368-399, 568-597)."""
 
-    def __init__(self, root: str, download: bool = False, **acquire_kwargs):
+    def __init__(
+        self, root: str, download: bool = False, version: int = 2, **acquire_kwargs
+    ):
         self._path = os.path.join(root, "wav")
         if not os.path.isdir(self._path):
             if download:
-                # VoxCeleb2 acquisition: multi-part authed download + zip
-                # reassembly + m4a->wav (reference src/datasets.py:479-541);
-                # pass transcode=/dev_urls=/credentials via acquire_kwargs
-                from titanet_tpu.data.acquire import fetch_voxceleb2
+                # version routes the fetcher: VoxCeleb1 = multi-part wav
+                # archives (reference delegates to torchaudio's downloader,
+                # src/datasets.py:373-377); VoxCeleb2 = multi-part authed
+                # m4a download + zip reassembly + m4a->wav transcode
+                # (src/datasets.py:479-541). Pass transcode=/dev_urls=/
+                # credentials via acquire_kwargs.
+                from titanet_tpu.data import acquire
 
-                fetch_voxceleb2(root, **acquire_kwargs)
+                if version == 1:
+                    acquire.fetch_voxceleb1(root, **acquire_kwargs)
+                elif version == 2:
+                    acquire.fetch_voxceleb2(root, **acquire_kwargs)
+                else:
+                    raise ValueError(
+                        f"VoxCeleb version must be 1 or 2, got {version!r}"
+                    )
             else:
                 raise FileNotFoundError(
                     f"VoxCeleb not found at {self._path}. Pass download=True "
-                    "(VoxCeleb2) or place .wav files under root/wav/."
+                    "(with version=1 or 2) or place .wav files under root/wav/."
                 )
         self._walker = sorted(str(p) for p in Path(self._path).rglob("*.wav"))
         super().__init__()

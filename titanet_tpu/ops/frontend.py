@@ -342,6 +342,23 @@ def l2_normalize_mels(spec_db: jax.Array, eps: float = 1e-12) -> jax.Array:
     return spec_db / jnp.maximum(norm, eps)
 
 
+_warned_fused_fallback: set = set()
+
+
+def _warn_fused_fallback(reason: str) -> None:
+    """One-time (per distinct reason) warning when ``use_pallas_fused=True``
+    silently falls back to the XLA path — so a user who enabled the fast
+    frontend sees why it was not taken (ADVICE r2)."""
+    if reason not in _warned_fused_fallback:
+        _warned_fused_fallback.add(reason)
+        import warnings
+
+        warnings.warn(
+            f"use_pallas_fused=True but falling back to the XLA frontend: {reason}",
+            stacklevel=3,
+        )
+
+
 def log_mel_spectrogram(
     waveform: jax.Array,
     cfg: FrontendConfig,
@@ -360,17 +377,26 @@ def log_mel_spectrogram(
     a caller-supplied ``mel_fb`` forces the XLA path) and the geometry is
     supported (``fused_kernel_supports``; falls back to XLA otherwise).
     """
-    if cfg.use_pallas_fused and mel_fb is None:
-        # Lazy import: ops.pallas.melspec imports this module.
-        from titanet_tpu.ops.pallas.melspec import (
-            fused_kernel_supports,
-            log_mel_spectrogram_pallas_fused,
-        )
+    if cfg.use_pallas_fused:
+        if mel_fb is None:
+            # Lazy import: ops.pallas.melspec imports this module.
+            from titanet_tpu.ops.pallas.melspec import (
+                fused_kernel_supports,
+                log_mel_spectrogram_pallas_fused,
+            )
 
-        if fused_kernel_supports(cfg):
-            return log_mel_spectrogram_pallas_fused(waveform, cfg, lengths=lengths)
-        # geometry outside the kernel's phase decomposition
-        # (n_fft > lcm(hop, 128)) -> fall through to the XLA paths
+            if fused_kernel_supports(cfg):
+                return log_mel_spectrogram_pallas_fused(
+                    waveform, cfg, lengths=lengths
+                )
+            _warn_fused_fallback(
+                f"geometry unsupported (n_fft={cfg.n_fft} > lcm(hop={cfg.hop_length}, 128))"
+            )
+        else:
+            _warn_fused_fallback(
+                "caller-supplied mel_fb forces the XLA path (the kernel builds "
+                "its own filterbank)"
+            )
     if mel_fb is None:
         mel_fb = jnp.asarray(
             mel_filterbank(cfg.n_fft // 2 + 1, cfg.n_mels, cfg.sample_rate)

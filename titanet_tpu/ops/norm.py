@@ -129,6 +129,10 @@ class FastDropout(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.deterministic or self.rate == 0.0:
             return x
+        if self.rate >= 1.0:
+            # nn.Dropout semantics: everything dropped (1/keep would be a
+            # ZeroDivisionError below)
+            return jnp.zeros_like(x)
         keep = 1.0 - self.rate
         key = self.make_rng("dropout")
         # uint8 bits when the keep probability is exactly representable in

@@ -186,7 +186,11 @@ def evaluate(
     same device-side metric accumulation as :func:`train_one_epoch`."""
     timer = StepTimer()
     all_targets, all_emb = [], []
-    loader.set_epoch(0)
+    # Epoch-threaded: with chunking enabled the eval crops vary per epoch
+    # (matching the reference, whose DataLoader re-runs per-example
+    # transforms at every evaluation); with chunking disabled (the default
+    # eval config) every epoch sees identical batches either way.
+    loader.set_epoch(epoch if isinstance(epoch, int) else 0)
     acc = init_metrics_acc(head.n_classes)
     timer.start("data")
     for (wav, lengths, speakers), batch in _staged_batches(loader, batch_sharding):
@@ -230,6 +234,14 @@ def run_verification(
 ):
     """Batched all-pairs verification (reference test, src/learn.py:409-459)."""
     embeddings, speakers = [], []
+    # The verification protocol scores WHOLE utterances (reference embeds
+    # each pair member un-cropped, src/learn.py:437); a chunking loader here
+    # would silently score random crops, so refuse it outright.
+    if loader.chunk.enabled:
+        raise ValueError(
+            "run_verification requires a non-chunking loader (whole-utterance "
+            "embeddings); build the test loader with chunk disabled"
+        )
     loader.set_epoch(0)
     for (wav, lengths, spk_dev), batch in _staged_batches(loader):
         del spk_dev
