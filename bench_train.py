@@ -58,7 +58,9 @@ def bench_tpu(wav: np.ndarray, speakers: np.ndarray) -> float:
         augment=AugmentConfig(probability=0.5),
     )
     x = jnp.asarray(wav, jnp.float32)
-    lengths = jnp.full((B,), N_SAMPLES, jnp.int32)
+    # uniform 3 s batch: the training loop passes lengths=None for fully
+    # packed buckets (train/loop.py) — same fast path measured here
+    lengths = None
     spk = jnp.asarray(speakers, jnp.int32)
 
     # warm: compile + first step

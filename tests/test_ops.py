@@ -292,3 +292,61 @@ def test_fused_frontend_fallback_warns_once():
         fe.log_mel_spectrogram(wav, cfg, mel_fb=mel_fb)  # same reason: silent
     msgs = [str(w.message) for w in rec if "use_pallas_fused" in str(w.message)]
     assert len(msgs) == 1 and "mel_fb" in msgs[0]
+
+
+def test_deferred_bn_ema_matches_inline():
+    """BatchNorm deferred-EMA mode (mutable "batch_moments" +
+    ema_update_batch_stats) must produce bit-equal running stats to the
+    inline torch-semantics update."""
+    from titanet_tpu.ops.norm import BatchNorm, ema_update_batch_stats
+
+    x = jnp.asarray(_rand(4, 7, 6, seed=3))
+    mod = BatchNorm()
+    variables = mod.init(jax.random.key(0), x, use_running_average=False)
+    stats0 = variables["batch_stats"]
+
+    # inline: two successive updates
+    _, upd1 = mod.apply(
+        {"params": variables["params"], "batch_stats": stats0},
+        x, use_running_average=False, mutable=["batch_stats"],
+    )
+    _, upd2 = mod.apply(
+        {"params": variables["params"], "batch_stats": upd1["batch_stats"]},
+        x * 2.0, use_running_average=False, mutable=["batch_stats"],
+    )
+
+    # deferred: moments published, EMA applied outside
+    stats = stats0
+    for inp in (x, x * 2.0):
+        _, upd = mod.apply(
+            {"params": variables["params"], "batch_stats": stats},
+            inp, use_running_average=False,
+            mutable=["batch_stats", "batch_moments"],
+        )
+        stats = ema_update_batch_stats(
+            upd["batch_stats"], upd["batch_moments"]
+        )
+
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(stats[k]), np.asarray(upd2["batch_stats"][k]),
+            rtol=1e-6, atol=1e-7,
+        )
+
+
+def test_bn_bf16_folded_apply_close_to_f32():
+    """The folded bf16 apply path must stay within bf16 rounding of the f32
+    parity path."""
+    from titanet_tpu.ops.norm import BatchNorm
+
+    x = jnp.asarray(_rand(8, 12, 16, seed=5))
+    f32 = BatchNorm()
+    bf16 = BatchNorm(dtype=jnp.bfloat16)
+    variables = f32.init(jax.random.key(0), x, use_running_average=False)
+    ref, _ = f32.apply(variables, x, use_running_average=False,
+                       mutable=["batch_stats"])
+    out, _ = bf16.apply(variables, x.astype(jnp.bfloat16),
+                        use_running_average=False, mutable=["batch_stats"])
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), rtol=0.02, atol=0.02
+    )

@@ -255,10 +255,13 @@ class FrontendConfig(NamedTuple):
     n_mels: int = 80
     use_matmul_dft: bool = True
     # framing + window + rDFT as ONE strided MXU convolution — the frames
-    # tensor never materializes in HBM (see _conv_dft; measured faster than
-    # frame+matmul, BENCHMARKS.md). Same math, summation order may differ
-    # by float rounding from torch.stft's (still well within parity budget).
-    use_conv_dft: bool = True  # (parity-tested vs torch.stft; see tests)
+    # tensor never materializes in HBM (see _conv_dft). Parity-tested vs
+    # torch.stft like the strided path. Default OFF: the strided-frame +
+    # ideal-K GEMM path measures faster at BOTH precisions (bench_frontend:
+    # 1.02 vs 1.18 ms 'highest', B=128x3s) and inside the full train step
+    # (27.6 vs 28.1 ms/step); conv-DFT remains for HBM-constrained cases
+    # (the frames tensor is 79 MB at B=128x3s).
+    use_conv_dft: bool = False
     # 'highest' = f32 multi-pass matmuls (torchaudio parity, default);
     # 'default' = MXU bf16 passes (~4x faster frontend, ~5e-2 mel error —
     # fine as training-time noise, not for parity-graded inference)

@@ -28,6 +28,7 @@ from titanet_tpu.losses.heads import renormalize_params
 from titanet_tpu.models import l2_normalize
 from titanet_tpu.ops.augment import AugmentConfig, log_mel_specaugment
 from titanet_tpu.ops.frontend import FrontendConfig, log_mel_spectrogram
+from titanet_tpu.ops.norm import ema_update_batch_stats
 
 
 def _dequantize_waveform(waveform: jax.Array) -> jax.Array:
@@ -124,22 +125,28 @@ def train_step(
     model_mask = mask if masked else None
 
     def loss_fn(params):
+        # "batch_moments" mutable => BatchNorm defers its running-stats EMA:
+        # sites publish batch moments and ONE fused update runs below
+        # (ema_update_batch_stats) instead of ~100 tiny copies inline.
         emb, updates = model.apply(
             {"params": params["backbone"], "batch_stats": state.batch_stats},
             mel,
             train=True,
             mask=model_mask,
-            mutable=["batch_stats"],
+            mutable=["batch_stats", "batch_moments"],
             rngs={"dropout": k_drop},
         )
         norm_emb, preds, loss = head.apply(
             {"params": params["head"]}, emb, speakers
         )
-        return loss, (norm_emb, preds, updates["batch_stats"])
+        return loss, (norm_emb, preds, updates)
 
-    (loss, (emb, preds, new_stats)), grads = jax.value_and_grad(
+    (loss, (emb, preds, updates)), grads = jax.value_and_grad(
         loss_fn, has_aux=True
     )(state.params)
+    new_stats = ema_update_batch_stats(
+        updates["batch_stats"], updates.get("batch_moments", {})
+    )
     updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     if renorm_head:
@@ -341,4 +348,9 @@ def make_optimizer(
         chain.append(optax.sgd(lr))
     else:
         chain.append(optax.adam(lr))
+    # NOTE: optax.flatten (one concatenated update vector) was measured
+    # SLOWER here (+4.5 ms/step at B=128): the step's ~2000 tiny f32[256]
+    # copies are MSA prefetches of per-site conv/BN params across fwd+bwd
+    # consumers, not optimizer staging (SGD vs Adam measures identically),
+    # and the flat round-trip adds concat+slice traffic on top.
     return optax.chain(*chain)
