@@ -350,3 +350,55 @@ def test_bn_bf16_folded_apply_close_to_f32():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref), rtol=0.02, atol=0.02
     )
+
+
+def test_depthwise_custom_vjp_grads_match_xla():
+    """depthwise_conv1d_same's shifted-adds backward vs XLA's conv grads."""
+    from titanet_tpu.ops.conv import conv1d_same, depthwise_conv1d_same
+
+    rng = np.random.default_rng(11)
+    B, T, C, K = 3, 19, 8, 5
+    x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((K, 1, C)) * 0.3, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((C,)) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+
+    ref_loss = lambda x, k, b: jnp.sum(conv1d_same(x, k, b, groups=C) * g)
+    new_loss = lambda x, k, b: jnp.sum(depthwise_conv1d_same(x, k, b) * g)
+
+    np.testing.assert_allclose(
+        np.asarray(new_loss(x, k, b)), np.asarray(ref_loss(x, k, b)), rtol=1e-5
+    )
+    ref_grads = jax.grad(ref_loss, argnums=(0, 1, 2))(x, k, b)
+    new_grads = jax.grad(new_loss, argnums=(0, 1, 2))(x, k, b)
+    for gr, gn, name in zip(ref_grads, new_grads, "x kernel bias".split()):
+        np.testing.assert_allclose(
+            np.asarray(gn), np.asarray(gr), rtol=1e-4, atol=1e-5,
+            err_msg=f"grad mismatch: {name}",
+        )
+
+
+def test_fast_dropout_bit_plane_pool():
+    """Bit-plane mode: keep fraction ~0.5, x2 scaling, and independent
+    masks across planes of the same pool word."""
+    from titanet_tpu.ops.norm import FastDropout
+
+    x = jnp.ones((64, 256), jnp.float32)
+    pool = jax.random.bits(jax.random.key(3), (1, 64, 256), jnp.uint8)
+    outs = []
+    for site in (0, 5):
+        mod = FastDropout(rate=0.5, site=site)
+        out = np.asarray(mod.apply({}, x, pool=pool))
+        kept = out != 0.0
+        np.testing.assert_allclose(out[kept], 2.0, rtol=1e-6)
+        n = out.size
+        assert abs(kept.mean() - 0.5) < 4 * (0.25 / n) ** 0.5
+        outs.append(kept)
+    # planes of one byte must be (near) independent
+    corr = np.corrcoef(outs[0].ravel(), outs[1].ravel())[0, 1]
+    assert abs(corr) < 0.05
+    # a site outside bit-plane eligibility (rate != 0.5) ignores the pool
+    mod = FastDropout(rate=0.3, site=0)
+    out = mod.apply({}, x, pool=pool, rngs={"dropout": jax.random.key(0)})
+    kept = np.asarray(out) != 0.0
+    assert abs(kept.mean() - 0.7) < 4 * (0.21 / x.size) ** 0.5

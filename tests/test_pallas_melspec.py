@@ -139,3 +139,63 @@ def test_fused_kernel_misaligned_offset_geometry():
     ref, _ = log_mel_spectrogram(wav, cfg)
     out, _ = log_mel_spectrogram_pallas_fused(wav, cfg)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Fused attentive-pooling kernel (ops/pallas/pool.py)
+# ---------------------------------------------------------------------------
+
+
+def test_attentive_pool_fused_matches_jnp_fwd_and_grads():
+    """Kernel (interpret mode on CPU) vs the jnp parity path: outputs and
+    ALL gradients, f32."""
+    import numpy as np
+
+    from titanet_tpu.ops.pallas.pool import attentive_pool_fused
+    from titanet_tpu.ops.pooling import attentive_stats
+
+    rng = np.random.default_rng(0)
+    B, T, C, H = 3, 17, 256, 128
+    y = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+    wa = jnp.asarray(rng.standard_normal((C, H)) * 0.05, jnp.float32)
+    ba = jnp.asarray(rng.standard_normal((H,)) * 0.05, jnp.float32)
+    wb = jnp.asarray(rng.standard_normal((H, C)) * 0.05, jnp.float32)
+    bb = jnp.asarray(rng.standard_normal((C,)) * 0.05, jnp.float32)
+
+    def ref(y, wa, ba, wb, bb):
+        e = jnp.tanh(y @ wa + ba) @ wb + bb
+        return attentive_stats(y, e)
+
+    def ker(y, wa, ba, wb, bb):
+        return attentive_pool_fused(y, wa, ba, wb, bb, 1e-6, 2)
+
+    out_r = ref(y, wa, ba, wb, bb)
+    out_k = ker(y, wa, ba, wb, bb)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               rtol=2e-5, atol=2e-5)
+
+    g = jnp.asarray(rng.standard_normal(out_r.shape), jnp.float32)
+    loss_r = lambda *a: jnp.sum(ref(*a) * g)
+    loss_k = lambda *a: jnp.sum(ker(*a) * g)
+    grads_r = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(y, wa, ba, wb, bb)
+    grads_k = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4))(y, wa, ba, wb, bb)
+    for gr, gk, name in zip(grads_r, grads_k, "y wa ba wb bb".split()):
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gr), rtol=2e-4, atol=2e-4,
+            err_msg=f"grad mismatch: {name}",
+        )
+
+
+def test_attentive_pool_module_param_paths_unchanged():
+    """The _DenseParams refactor must keep the exact param tree (and
+    values — flax path-derived RNG) the nn.Dense children produced."""
+    from titanet_tpu.ops.pooling import AttentiveStatsPooling
+
+    mod = AttentiveStatsPooling(hidden_size=128)
+    x = jnp.zeros((2, 9, 256), jnp.float32)
+    params = mod.init(jax.random.key(0), x)["params"]
+    assert set(params) == {"in_linear", "out_linear"}
+    assert params["in_linear"]["kernel"].shape == (256, 128)
+    assert params["in_linear"]["bias"].shape == (128,)
+    assert params["out_linear"]["kernel"].shape == (128, 256)
+    assert params["out_linear"]["bias"].shape == (256,)

@@ -52,13 +52,18 @@ class ConvBlock1d(nn.Module):
     activation: Optional[str] = "relu"
     dropout: float = 0.0
     depthwise: bool = False
+    drop_site: int = 0  # bit-plane index for the shared dropout pool
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, train: bool = False, mask: Optional[jax.Array] = None
+        self,
+        x: jax.Array,
+        train: bool = False,
+        mask: Optional[jax.Array] = None,
+        drop_pool: Optional[jax.Array] = None,
     ) -> jax.Array:
         conv_cls = DepthwiseSeparableConv1d if self.depthwise else SamePadConv1d
         x = conv_cls(
@@ -84,7 +89,9 @@ class ConvBlock1d(nn.Module):
         elif self.activation is not None:
             raise ValueError(f"Incompatible activation {self.activation!r}")
         if self.dropout > 0:
-            x = FastDropout(rate=self.dropout, deterministic=not train)(x)
+            x = FastDropout(
+                rate=self.dropout, deterministic=not train, site=self.drop_site
+            )(x, pool=drop_pool)
         return x
 
 
@@ -97,16 +104,21 @@ class MegaBlock(nn.Module):
     n_sub_blocks: int = 3
     se_reduction: int = 16
     dropout: float = 0.5
+    site_base: int = 0  # first dropout bit-plane index for this block
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, mask: Optional[jax.Array] = None, train: bool = False
+        self,
+        x: jax.Array,
+        mask: Optional[jax.Array] = None,
+        drop_pool: Optional[jax.Array] = None,
+        train: bool = False,
     ) -> jax.Array:
-        # NOTE: (x, mask, train) order so nn.remat can mark `train`
-        # (argnum 2) static in the Encoder's rematerialized path.
+        # NOTE: (x, mask, drop_pool, train) order so nn.remat can mark
+        # `train` (last argnum) static in the Encoder's rematerialized path.
         y = x
         for i in range(self.n_sub_blocks):
             y = ConvBlock1d(
@@ -115,11 +127,12 @@ class MegaBlock(nn.Module):
                 activation="relu",
                 dropout=self.dropout,
                 depthwise=True,
+                drop_site=self.site_base + i,
                 axis_name=self.axis_name,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"sub_block_{i}",
-            )(y, train=train, mask=mask)
+            )(y, train=train, mask=mask, drop_pool=drop_pool)
         y = SqueezeExcitation(
             reduction=self.se_reduction,
             dtype=self.dtype,
@@ -143,7 +156,11 @@ class MegaBlock(nn.Module):
         )(skip, mask=mask if train else None)
 
         out = nn.relu(skip + y)
-        return FastDropout(rate=self.dropout, deterministic=not train)(out)
+        return FastDropout(
+            rate=self.dropout,
+            deterministic=not train,
+            site=self.site_base + self.n_sub_blocks,
+        )(out, pool=drop_pool)
 
 
 class Encoder(nn.Module):
@@ -166,7 +183,11 @@ class Encoder(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, train: bool = False, mask: Optional[jax.Array] = None
+        self,
+        x: jax.Array,
+        train: bool = False,
+        mask: Optional[jax.Array] = None,
+        drop_pool: Optional[jax.Array] = None,
     ) -> jax.Array:
         common = dict(
             axis_name=self.axis_name, dtype=self.dtype, param_dtype=self.param_dtype
@@ -178,8 +199,8 @@ class Encoder(nn.Module):
             **common,
         )(x, train=train, mask=mask)
         # nn.remat's static_argnums count the module itself at 0, so
-        # (x, mask, train) puts `train` at argnum 3
-        mega_cls = nn.remat(MegaBlock, static_argnums=(3,)) if self.remat else MegaBlock
+        # (x, mask, drop_pool, train) puts `train` at argnum 4
+        mega_cls = nn.remat(MegaBlock, static_argnums=(4,)) if self.remat else MegaBlock
         for i in range(self.n_mega_blocks):
             x = mega_cls(
                 features=self.hidden_size,
@@ -187,9 +208,10 @@ class Encoder(nn.Module):
                 n_sub_blocks=self.n_sub_blocks,
                 se_reduction=self.se_reduction,
                 dropout=self.dropout,
+                site_base=i * (self.n_sub_blocks + 1),
                 name=f"mega_block_{i}",
                 **common,
-            )(x, mask, train)
+            )(x, mask, drop_pool, train)
         x = ConvBlock1d(
             features=self.output_size,
             kernel_size=self.epilog_kernel_size,
@@ -276,9 +298,21 @@ class TitaNet(nn.Module):
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
 
+    def dropout_pool_shape(self, batch: int, n_frames: int):
+        """Shape of the shared u8 dropout bit pool for one train step, or
+        None when bit-plane sharing does not apply (see FastDropout)."""
+        if self.dropout != 0.5:
+            return None
+        n_sites = self.n_mega_blocks * (self.n_sub_blocks + 1)
+        return (-(-n_sites // 8), batch, n_frames, self.encoder_hidden_size)
+
     @nn.compact
     def __call__(
-        self, x: jax.Array, train: bool = False, mask: Optional[jax.Array] = None
+        self,
+        x: jax.Array,
+        train: bool = False,
+        mask: Optional[jax.Array] = None,
+        drop_pool: Optional[jax.Array] = None,
     ) -> jax.Array:
         enc = Encoder(
             n_mega_blocks=self.n_mega_blocks,
@@ -295,7 +329,7 @@ class TitaNet(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="encoder",
-        )(x, train=train, mask=mask)
+        )(x, train=train, mask=mask, drop_pool=drop_pool)
         return Decoder(
             embedding_size=self.embedding_size,
             attention_hidden_size=self.attention_hidden_size,

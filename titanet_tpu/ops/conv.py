@@ -80,6 +80,59 @@ def conv1d_same(
     return out
 
 
+def _shift_t(v: jax.Array, s: int) -> jax.Array:
+    """``out[:, t] = v[:, t + s]`` with zero fill off the edges."""
+    if s == 0:
+        return v
+    if s > 0:
+        return jnp.pad(v[:, s:, :], ((0, 0), (0, s), (0, 0)))
+    return jnp.pad(v[:, :s, :], ((0, 0), (-s, 0), (0, 0)))
+
+
+@jax.custom_vjp
+def depthwise_conv1d_same(x: jax.Array, kernel: jax.Array, bias: jax.Array):
+    """Stride-1 depthwise conv (``groups == C``), K odd, same padding.
+
+    Forward is the plain grouped ``conv_general_dilated`` — XLA's
+    conv+BN+relu fusion chains stay intact (swapping the forward for
+    shifted adds measured -24% in the full step, BENCHMARKS.md). Only the
+    BACKWARD is replaced: XLA's grouped-conv gradients cost ~3.6 ms of a
+    27 ms TitaNet-S step (profile_train.py) while the actual math is K
+    shifted multiply-adds (dx) and K shifted multiply-reduces (dW) — pure
+    VPU work that fuses with the surrounding elementwise gradient ops.
+    """
+    return conv1d_same(x, kernel, bias, groups=x.shape[-1])
+
+
+def _dw_fwd(x, kernel, bias):
+    return depthwise_conv1d_same(x, kernel, bias), (x, kernel)
+
+
+def _dw_bwd(res, dy):
+    x, kernel = res
+    k = kernel.shape[0]
+    pad = (k - 1) // 2
+    w = kernel[:, 0, :]  # [K, C]
+    dyf = dy
+    dx = None
+    for i in range(k):
+        term = _shift_t(dyf, pad - i) * w[i][None, None, :].astype(dy.dtype)
+        dx = term if dx is None else dx + term
+    dk = jnp.stack(
+        [
+            jnp.sum(
+                (_shift_t(x, i - pad) * dyf).astype(jnp.float32), axis=(0, 1)
+            )
+            for i in range(k)
+        ]
+    )[:, None, :]  # [K, 1, C]
+    db = jnp.sum(dyf.astype(jnp.float32), axis=(0, 1))
+    return dx.astype(x.dtype), dk.astype(kernel.dtype), db
+
+
+depthwise_conv1d_same.defvjp(_dw_fwd, _dw_bwd)
+
+
 class SamePadConv1d(nn.Module):
     """Same-padding 1D convolution (reference ``Conv1dSamePadding``,
     src/modules.py:5-40), channels-last."""
@@ -122,10 +175,14 @@ class SamePadConv1d(nn.Module):
             if bias is not None:
                 out = out + bias.astype(out.dtype)
             return out
-        # NOTE: a depthwise-as-K-shifted-multiply-adds variant measured
-        # FASTER in single-op isolation (0.013 vs 0.046 ms fwd) but SLOWER
-        # inside the full train step (40.9 vs 33.1 ms — it breaks XLA's
-        # conv+BN+relu fusion chains); the grouped conv below stays.
+        # NOTE: two recorded negative results keep the grouped conv as-is.
+        # (1) depthwise FORWARD as K shifted multiply-adds: faster in
+        # isolation (0.013 vs 0.046 ms) but -24% in the full step (breaks
+        # XLA's conv+BN+relu fusion chains). (2) depthwise BACKWARD as
+        # shifted adds via custom VJP (depthwise_conv1d_same below): the
+        # K per-tap f32 multiply-reduces materialize [B,T,C] temps and
+        # measured 32.6 vs 26.7 ms/step at B=128 — XLA's grouped conv
+        # gradients are already near their bandwidth envelope.
         return conv1d_same(
             x, kernel, bias, stride=self.stride, dilation=self.dilation, groups=self.groups
         )

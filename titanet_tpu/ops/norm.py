@@ -180,19 +180,35 @@ class FastDropout(nn.Module):
     ``P(bits < floor(keep * 2^32)) = keep`` for uniform uint32 bits. With
     ~50 dropout sites of [B, T, C] activations per TitaNet train step the
     saved VPU passes are measurable (bench notes in BENCHMARKS.md).
+
+    Bit-plane mode: when ``rate == 0.5`` and the caller passes a shared
+    u8 ``pool`` (``[W, ...x.shape]``) plus a static ``site`` index, the
+    mask is bit ``site % 8`` of word ``site // 8`` — PRNG bits are iid, so
+    the 8 planes of one byte are 8 independent masks. TitaNet has ~68
+    rate-0.5 sites per step; sharing cuts mask generation + write traffic
+    8x (~1 ms/step at B=128, profile_train.py).
     """
 
     rate: float
     deterministic: bool = False
+    site: int = 0  # bit-plane index into a shared pool, when provided
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, pool: Optional[jax.Array] = None) -> jax.Array:
         if self.deterministic or self.rate == 0.0:
             return x
         if self.rate >= 1.0:
             # nn.Dropout semantics: everything dropped (1/keep would be a
             # ZeroDivisionError below)
             return jnp.zeros_like(x)
+        if pool is not None and self.rate == 0.5:
+            word = pool[self.site // 8]
+            bit = jnp.uint8(1 << (self.site % 8))
+            return jnp.where(
+                (word & bit) != 0,
+                x * jnp.asarray(2.0, x.dtype),
+                jnp.zeros((), x.dtype),
+            )
         keep = 1.0 - self.rate
         key = self.make_rng("dropout")
         # uint8 bits when the keep probability is exactly representable in
