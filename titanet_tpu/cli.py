@@ -27,7 +27,11 @@ from titanet_tpu.data import (
 from titanet_tpu.losses.heads import build_head, head_param_count
 from titanet_tpu.models import DumbConvNet, DVectorBaseline, get_titanet
 from titanet_tpu.ops.frontend import FrontendConfig
-from titanet_tpu.parallel import batch_sharding, make_mesh
+from titanet_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    maybe_initialize_distributed,
+)
 from titanet_tpu.train import create_train_state, make_optimizer
 from titanet_tpu.train.loop import run_verification, training_loop
 from titanet_tpu.utils import ConsoleLogger, JsonlLogger, WandbLogger, set_seed
@@ -351,6 +355,10 @@ def evaluate_checkpoint(cfg: Config, checkpoint_dir: str, epoch: Optional[int] =
 
 
 def main(argv: Optional[list] = None):
+    # Multi-host: bring up the JAX distributed runtime BEFORE any device
+    # use when the env contract is present (TITANET_COORDINATOR /
+    # TITANET_DISTRIBUTED=auto); no-op otherwise. See parallel/distributed.
+    maybe_initialize_distributed()
     parser = argparse.ArgumentParser(description="titanet_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
     p_train = sub.add_parser("train", help="train a model (reference-compatible YAML)")

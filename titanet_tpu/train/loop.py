@@ -51,10 +51,15 @@ class NonFiniteLossError(RuntimeError):
 
 def _device_batch(batch: Batch, sharding=None):
     if sharding is not None:
+        # multi-process: each host contributes its LOCAL batch as a shard
+        # of the global logical batch (global batch = P * local batch);
+        # single-process: plain async device_put
+        from titanet_tpu.parallel import global_batch_array
+
         return (
-            jax.device_put(batch.waveform, sharding),
-            jax.device_put(batch.lengths, sharding),
-            jax.device_put(batch.speaker_ids, sharding),
+            global_batch_array(sharding, batch.waveform),
+            global_batch_array(sharding, batch.lengths),
+            global_batch_array(sharding, batch.speaker_ids),
         )
     return (
         jnp.asarray(batch.waveform),
