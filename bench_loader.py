@@ -41,39 +41,86 @@ def build_corpus(root):
                 f.write(blob)
 
 
+def build_rirs(root, n=4):
+    """Synthetic room impulse responses (exponentially-decaying noise) so
+    the reverb augmentation path runs without the OpenSLR-28 corpus."""
+    import wave
+
+    rng = np.random.default_rng(7)
+    paths = []
+    for i in range(n):
+        t = np.arange(int(0.25 * 16000))
+        rir = rng.standard_normal(t.size) * np.exp(-t / (0.03 * 16000))
+        pcm = (rir / np.max(np.abs(rir)) * 20000).astype(np.int16)
+        path = os.path.join(root, f"rir_{i}.wav")
+        with wave.open(path, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(pcm.tobytes())
+        paths.append(path)
+    return tuple(paths)
+
+
 def main():
     import subprocess
 
     repo = os.path.dirname(os.path.abspath(__file__))
     subprocess.run(["make", "-C", os.path.join(repo, "native"), "-s"], check=True)
-    from titanet_tpu.data import ChunkConfig, DataLoader, LibriSpeechDataset
+    from titanet_tpu.data import (
+        ChunkConfig,
+        DataLoader,
+        LibriSpeechDataset,
+        ReverbConfig,
+        SpeedConfig,
+    )
 
     with tempfile.TemporaryDirectory() as root:
         build_corpus(root)
+        rirs = build_rirs(root)
         ds = LibriSpeechDataset(root)
         n_utt = len(ds)
-        for workers in (0, 2, 4):
-            loader = DataLoader(
-                ds, batch_size=16, chunk=ChunkConfig(enabled=True),
-                transport_dtype="int16", seed=0, num_workers=workers,
-            )
-            # warm one epoch (page cache, worker spin-up)
-            for _ in loader:
-                pass
-            epochs = 5
-            t0 = time.perf_counter()
-            for _ in range(epochs):
-                for batch in loader:
+        # (tag, extra loader kwargs) — 'augmented' is the real training
+        # configuration: chunk + speed perturb + convolution reverb, both
+        # per-example on the host (reference src/transforms.py:78-108,
+        # 236-298)
+        configs = [
+            ("decode+chunk", {}),
+            (
+                "decode+chunk+speed+reverb",
+                dict(
+                    speed=SpeedConfig(rates=(0.95, 1.0, 1.05), probability=0.5,
+                                      enabled=True, continuous=True),
+                    reverb=ReverbConfig(rir_paths=rirs, probability=0.5,
+                                        enabled=True),
+                ),
+            ),
+        ]
+        for tag, extra in configs:
+            for workers in (0, 2, 4):
+                loader = DataLoader(
+                    ds, batch_size=16, chunk=ChunkConfig(enabled=True),
+                    transport_dtype="int16", seed=0, num_workers=workers,
+                    **extra,
+                )
+                # warm one epoch (page cache, worker spin-up)
+                for _ in loader:
                     pass
-            dt = (time.perf_counter() - t0) / epochs
-            print(json.dumps({
-                "metric": "loader FLAC->batch throughput",
-                "decode_workers": workers,
-                "value": round(n_utt / dt, 1),
-                "unit": "utt/s (whole process; divide by active cores for per-core)",
-                "utterance_seconds": SECONDS,
-                "corpus_utterances": n_utt,
-            }))
+                epochs = 5
+                t0 = time.perf_counter()
+                for _ in range(epochs):
+                    for batch in loader:
+                        pass
+                dt = (time.perf_counter() - t0) / epochs
+                print(json.dumps({
+                    "metric": "loader FLAC->batch throughput",
+                    "pipeline": tag,
+                    "decode_workers": workers,
+                    "value": round(n_utt / dt, 1),
+                    "unit": "utt/s (whole process; divide by active cores for per-core)",
+                    "utterance_seconds": SECONDS,
+                    "corpus_utterances": n_utt,
+                }))
 
 
 if __name__ == "__main__":

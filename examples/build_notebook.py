@@ -48,11 +48,18 @@ speaker maps, deterministic splits, duration stats and sampling on every
 backend — LibriSpeech / VCTK / VoxCeleb1/2 on disk, or the procedural
 synthetic corpus (no IO)."""),
     ("code", """\
+import os
 from titanet_tpu.data import SyntheticSpeakerDataset, LibriSpeechDataset
 
-ds = SyntheticSpeakerDataset(n_speakers=10, utterances_per_speaker=10)
-# ds = LibriSpeechDataset("./data")                      # real corpus
-# ds = LibriSpeechDataset("./data", download=True)       # fetch if missing
+# availability-gated: the SAME notebook upgrades itself to the real corpus
+# on a machine that has it (reference trains on train-clean-100)
+if os.path.isdir("./data/LibriSpeech/train-clean-100"):
+    ds = LibriSpeechDataset("./data")
+    print("using REAL LibriSpeech train-clean-100")
+else:
+    ds = SyntheticSpeakerDataset(n_speakers=10, utterances_per_speaker=10)
+    print("LibriSpeech not found under ./data — using the synthetic corpus")
+    # LibriSpeechDataset("./data", download=True) fetches it (~6.3 GB)
 ds.info()"""),
     ("code", """\
 # duration histogram (reference notebook EDA cells)
@@ -447,12 +454,24 @@ print("baseline:", get_test_metrics(b_scores, b_labels, prefix="base"))
 print("titanet :", get_test_metrics(scores, labels, prefix="titanet"))"""),
     ("md", """\
 **Cross-corpus generalization** (the reference's VCTK section: embed a
-corpus the model never trained on): the model trained on the easy corpus
-embeds the HARD corpus' held-out speakers — clusters degrade but survive,
-and you can hear/see why with the earlier EDA tools."""),
+corpus the model never trained on): availability-gated — with VCTK 0.92 on
+disk this embeds REAL held-out speakers (exactly the reference's cells
+95-118); otherwise the HARD synthetic corpus' held-out speakers stand in.
+Clusters degrade but survive, and you can hear/see why with the earlier
+EDA tools."""),
     ("code", """\
-hard_wavs = [hard[i]["waveform"][0] for i in range(0, min(len(hard), 60))]
-hard_speakers = [hard[i]["speaker_id"] for i in range(0, min(len(hard), 60))]
+import os
+from titanet_tpu.data import VCTKDataset
+
+if os.path.isdir("./data/wav48_silence_trimmed"):
+    xds = VCTKDataset("./data")   # real VCTK — reference visualization corpus
+    print("using REAL VCTK 0.92")
+else:
+    xds = hard
+    print("VCTK not found under ./data — using the hard synthetic corpus")
+    # VCTKDataset("./data", download=True) fetches it (~11 GB)
+hard_wavs = [xds[i]["waveform"][0] for i in range(0, min(len(xds), 60))]
+hard_speakers = [xds[i]["speaker_id"] for i in range(0, min(len(xds), 60))]
 hard_vectors = emb.embed(hard_wavs)
 visualize_embeddings(hard_vectors, hard_speakers, reduction_method="svd", show=True)
 h_scores, h_labels = all_pairs_scores_labels(hard_vectors, hard_speakers)

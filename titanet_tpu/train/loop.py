@@ -348,6 +348,9 @@ def training_loop(
                 train_emb, train_targets, reduction_method=reduction_method,
                 save=fig_path,
             )
+            # reference pushes each epoch's embedding figure into the W&B
+            # run (src/learn.py:401-406)
+            wandb.log_image("train/embeddings", fig_path, step=epoch)
         jsonl.log(metrics, step=epoch)
         wandb.log(metrics, step=epoch)
 
@@ -367,10 +370,12 @@ def training_loop(
             if figures_dir is not None and val_emb is not None:
                 from titanet_tpu.utils.viz import visualize_embeddings
 
+                val_fig = os.path.join(figures_dir, f"epoch_{epoch}_val.png")
                 visualize_embeddings(
                     val_emb, val_targets, reduction_method=reduction_method,
-                    save=os.path.join(figures_dir, f"epoch_{epoch}_val.png"),
+                    save=val_fig,
                 )
+                wandb.log_image("val/embeddings", val_fig, step=epoch)
             jsonl.log(val_metrics, step=epoch)
             wandb.log(val_metrics, step=epoch)
 

@@ -103,6 +103,14 @@ class WandbLogger:
         if self.run is not None:
             self.run.log(metrics, step=step)
 
+    def log_image(self, key: str, path: str, step: Optional[int] = None):
+        """Push a saved figure into the run (reference logs per-epoch
+        embedding scatter figures, src/learn.py:401-406)."""
+        if self.run is not None:
+            import wandb
+
+            self.run.log({key: wandb.Image(path)}, step=step)
+
     def save(self, path: str):
         if self.run is not None:
             self.run.save(path)
