@@ -166,8 +166,10 @@ def test_attentive_pool_fused_matches_jnp_fwd_and_grads():
         e = jnp.tanh(y @ wa + ba) @ wb + bb
         return attentive_stats(y, e)
 
+    zeros = jnp.zeros((C,), jnp.float32)
+
     def ker(y, wa, ba, wb, bb):
-        return attentive_pool_fused(y, wa, ba, wb, bb, 1e-6, 2)
+        return attentive_pool_fused(y, zeros, zeros, wa, ba, wb, bb, 1e-6, 2, False)
 
     out_r = ref(y, wa, ba, wb, bb)
     out_k = ker(y, wa, ba, wb, bb)
@@ -199,3 +201,65 @@ def test_attentive_pool_module_param_paths_unchanged():
     assert params["in_linear"]["bias"].shape == (128,)
     assert params["out_linear"]["kernel"].shape == (128, 256)
     assert params["out_linear"]["bias"].shape == (256,)
+
+
+def test_attentive_pool_fused_fold_matches_jnp():
+    """fold=True (epilog BN apply + relu absorbed in-kernel) vs the
+    explicit relu(a*h+c) -> jnp pool chain: outputs and ALL gradients."""
+    import numpy as np
+
+    from titanet_tpu.ops.pallas.pool import attentive_pool_fused
+    from titanet_tpu.ops.pooling import attentive_stats
+
+    rng = np.random.default_rng(5)
+    B, T, C, H = 2, 13, 256, 128
+    h = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+    a = jnp.asarray(rng.uniform(0.5, 1.5, (C,)), jnp.float32)
+    c = jnp.asarray(rng.standard_normal((C,)) * 0.2, jnp.float32)
+    wa = jnp.asarray(rng.standard_normal((C, H)) * 0.05, jnp.float32)
+    ba = jnp.asarray(rng.standard_normal((H,)) * 0.05, jnp.float32)
+    wb = jnp.asarray(rng.standard_normal((H, C)) * 0.05, jnp.float32)
+    bb = jnp.asarray(rng.standard_normal((C,)) * 0.05, jnp.float32)
+
+    def ref(h, a, c, wa, ba, wb, bb):
+        y = jax.nn.relu(h * a + c)
+        e = jnp.tanh(y @ wa + ba) @ wb + bb
+        return attentive_stats(y, e)
+
+    def ker(h, a, c, wa, ba, wb, bb):
+        return attentive_pool_fused(h, a, c, wa, ba, wb, bb, 1e-6, 2, True)
+
+    np.testing.assert_allclose(
+        np.asarray(ker(h, a, c, wa, ba, wb, bb)),
+        np.asarray(ref(h, a, c, wa, ba, wb, bb)),
+        rtol=2e-5, atol=2e-5,
+    )
+    g = jnp.asarray(rng.standard_normal((B, 2 * C)), jnp.float32)
+    args = (h, a, c, wa, ba, wb, bb)
+    grads_r = jax.grad(lambda *A: jnp.sum(ref(*A) * g), argnums=tuple(range(7)))(*args)
+    grads_k = jax.grad(lambda *A: jnp.sum(ker(*A) * g), argnums=tuple(range(7)))(*args)
+    for gr, gk, name in zip(grads_r, grads_k, "h a c wa ba wb bb".split()):
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gr), rtol=3e-4, atol=3e-4,
+            err_msg=f"grad mismatch: {name}",
+        )
+
+
+def test_titanet_defer_epilog_equals_unfused():
+    """Encoder(defer_epilog=True) returns (h, a, c) with
+    relu(a*h+c) == the unfused epilog output (eval mode, CPU path)."""
+    import numpy as np
+
+    from titanet_tpu.models.titanet import Encoder
+
+    enc = Encoder(n_mega_blocks=1, hidden_size=32, output_size=48,
+                  dropout=0.0)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 9, 16)),
+                    jnp.float32)
+    variables = enc.init(jax.random.key(0), x)
+    full = enc.apply(variables, x, train=False)
+    h, a, c = enc.apply(variables, x, train=False, defer_epilog=True)
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.relu(h * a + c)), np.asarray(full),
+        rtol=1e-5, atol=1e-6,
+    )

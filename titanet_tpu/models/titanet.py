@@ -64,6 +64,7 @@ class ConvBlock1d(nn.Module):
         train: bool = False,
         mask: Optional[jax.Array] = None,
         drop_pool: Optional[jax.Array] = None,
+        defer_apply: bool = False,
     ) -> jax.Array:
         conv_cls = DepthwiseSeparableConv1d if self.depthwise else SamePadConv1d
         x = conv_cls(
@@ -75,13 +76,23 @@ class ConvBlock1d(nn.Module):
             param_dtype=self.param_dtype,
             name="conv",
         )(x)
-        x = BatchNorm(
+        norm = BatchNorm(
             use_running_average=not train,
             axis_name=self.axis_name if train else None,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="norm",
-        )(x, mask=mask if train else None)
+        )
+        if defer_apply:
+            # stats bookkeeping runs; the BN apply (+activation) is folded
+            # into the consumer (the fused pooling kernel). Only valid for
+            # activation='relu' (the kernel applies relu) and dropout=0.
+            assert self.activation == "relu" and self.dropout == 0
+            a, c = norm(
+                x, mask=mask if train else None, return_scale_shift=True
+            )
+            return x, a, c
+        x = norm(x, mask=mask if train else None)
         if self.activation == "relu":
             x = nn.relu(x)
         elif self.activation == "tanh":
@@ -188,6 +199,7 @@ class Encoder(nn.Module):
         train: bool = False,
         mask: Optional[jax.Array] = None,
         drop_pool: Optional[jax.Array] = None,
+        defer_epilog: bool = False,
     ) -> jax.Array:
         common = dict(
             axis_name=self.axis_name, dtype=self.dtype, param_dtype=self.param_dtype
@@ -212,13 +224,12 @@ class Encoder(nn.Module):
                 name=f"mega_block_{i}",
                 **common,
             )(x, mask, drop_pool, train)
-        x = ConvBlock1d(
+        return ConvBlock1d(
             features=self.output_size,
             kernel_size=self.epilog_kernel_size,
             name="epilog",
             **common,
-        )(x, train=train, mask=mask)
-        return x
+        )(x, train=train, mask=mask, defer_apply=defer_epilog)
 
 
 class Decoder(nn.Module):
@@ -234,7 +245,12 @@ class Decoder(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, train: bool = False, mask: Optional[jax.Array] = None
+        self,
+        x: jax.Array,
+        train: bool = False,
+        mask: Optional[jax.Array] = None,
+        prescale: Optional[jax.Array] = None,
+        preshift: Optional[jax.Array] = None,
     ) -> jax.Array:
         ch = x.shape[-1]
         if self.simple_pool:
@@ -247,7 +263,7 @@ class Decoder(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name="pool",
-            )(x, mask=mask)
+            )(x, mask=mask, prescale=prescale, preshift=preshift)
             pooled = BatchNorm(
                 use_running_average=not train,
                 axis_name=self.axis_name if train else None,
@@ -314,6 +330,24 @@ class TitaNet(nn.Module):
         mask: Optional[jax.Array] = None,
         drop_pool: Optional[jax.Array] = None,
     ) -> jax.Array:
+        # Fused-decoder eligibility: the pooling kernel absorbs the epilog
+        # BN apply + relu (epilog returns (h, a, c); y = relu(a*h + c) is
+        # computed per-tile in VMEM, so the [B, T, output_size] activation
+        # never round-trips HBM between epilog and pooling).
+        from titanet_tpu.ops.pallas.pool import kernel_supports
+
+        dt = self.dtype or x.dtype
+        fuse = (
+            not self.simple_pool
+            and mask is None
+            and jax.default_backend() == "tpu"
+            and kernel_supports(
+                self.encoder_output_size,
+                self.attention_hidden_size,
+                x.shape[1],
+                dt,
+            )
+        )
         enc = Encoder(
             n_mega_blocks=self.n_mega_blocks,
             n_sub_blocks=self.n_sub_blocks,
@@ -329,7 +363,11 @@ class TitaNet(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="encoder",
-        )(x, train=train, mask=mask, drop_pool=drop_pool)
+        )(x, train=train, mask=mask, drop_pool=drop_pool, defer_epilog=fuse)
+        if fuse:
+            enc, prescale, preshift = enc
+        else:
+            prescale = preshift = None
         return Decoder(
             embedding_size=self.embedding_size,
             attention_hidden_size=self.attention_hidden_size,
@@ -338,7 +376,7 @@ class TitaNet(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="decoder",
-        )(enc, train=train, mask=mask)
+        )(enc, train=train, mask=mask, prescale=prescale, preshift=preshift)
 
 
 _SIZE_PRESETS = {

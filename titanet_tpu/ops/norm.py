@@ -50,7 +50,15 @@ class BatchNorm(nn.Module):
         x: jax.Array,
         use_running_average: Optional[bool] = None,
         mask: Optional[jax.Array] = None,
+        return_scale_shift: bool = False,
     ) -> jax.Array:
+        """Normalize ``x`` — or, with ``return_scale_shift=True``, do all
+        the statistics bookkeeping (batch stats, EMA/moments publishing)
+        but return the per-channel fold vectors ``(a, c)`` with
+        ``bn(x) == x * a + c`` (f32) instead of applying them. Lets a
+        downstream fused kernel absorb the apply (+activation) without an
+        extra [B, T, C] round trip; gradients to the batch statistics
+        flow through ``a``/``c`` by autodiff."""
         use_ra = nn.merge_param(
             "use_running_average", self.use_running_average, use_running_average
         )
@@ -121,6 +129,10 @@ class BatchNorm(nn.Module):
 
         dtype = self.dtype or x.dtype
         inv = jax.lax.rsqrt(var.astype(jnp.float32) + self.epsilon)
+        if return_scale_shift:
+            a = inv * scale.astype(jnp.float32)
+            c = bias.astype(jnp.float32) - mean.astype(jnp.float32) * a
+            return a, c
         if dtype != jnp.float32 and x.dtype == dtype:
             # Low-precision compute path: fold (mean, inv, scale, bias) into
             # per-channel a,b in f32 once, then ONE fused multiply-add in the

@@ -81,13 +81,25 @@ class AttentiveStatsPooling(nn.Module):
     use_kernel: Optional[bool] = None  # None = auto (TPU, no mask, aligned)
 
     @nn.compact
-    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        mask: Optional[jax.Array] = None,
+        prescale: Optional[jax.Array] = None,
+        preshift: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Pool ``x [B, T, C]``. With ``prescale``/``preshift`` (per-channel
+        f32 fold vectors from an upstream BatchNorm in deferred-apply mode),
+        ``relu(prescale*x + preshift)`` is applied first — inside the fused
+        kernel when eligible, so the post-BN activation never exists in
+        HBM."""
         ch = x.shape[-1]
         wa, ba = _DenseParams(ch, self.hidden_size, self.param_dtype,
                               name="in_linear")()
         wb, bb = _DenseParams(self.hidden_size, ch, self.param_dtype,
                               name="out_linear")()
         dt = self.dtype or jnp.result_type(x.dtype, self.param_dtype)
+        fold = prescale is not None
         use_kernel = self.use_kernel
         if use_kernel is None:
             from titanet_tpu.ops.pallas.pool import kernel_supports
@@ -101,10 +113,18 @@ class AttentiveStatsPooling(nn.Module):
         if use_kernel:
             from titanet_tpu.ops.pallas.pool import attentive_pool_fused
 
+            zeros = jnp.zeros((ch,), jnp.float32)
             bt = 4 if dt == jnp.bfloat16 else 2
             return attentive_pool_fused(
-                x.astype(dt), wa, ba, wb, bb, self.eps, bt
+                x.astype(dt),
+                prescale if fold else zeros,
+                preshift if fold else zeros,
+                wa, ba, wb, bb, self.eps, bt, fold,
             )
+        if fold:
+            x = jax.nn.relu(
+                x.astype(jnp.float32) * prescale + preshift
+            ).astype(dt)
         # jnp path — identical math (and dtype promotion) to the previous
         # nn.Dense formulation; parity reference and masked/CPU fallback.
         e = jnp.dot(x.astype(dt), wa.astype(dt)) + ba.astype(dt)
