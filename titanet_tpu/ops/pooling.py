@@ -114,7 +114,11 @@ class AttentiveStatsPooling(nn.Module):
             from titanet_tpu.ops.pallas.pool import attentive_pool_fused
 
             zeros = jnp.zeros((ch,), jnp.float32)
-            bt = 4 if dt == jnp.bfloat16 else 2
+            # batch tile scaled by T: per-row [T, C] VMEM temps dominate,
+            # so keep bt*T roughly constant (eval sees unchunked, longer
+            # utterances — a fixed bt=4 OOMs VMEM at T~600, measured)
+            base = 4 if dt == jnp.bfloat16 else 2
+            bt = max(1, min(base, (base * 310) // max(x.shape[1], 1)))
             return attentive_pool_fused(
                 x.astype(dt),
                 prescale if fold else zeros,
