@@ -39,19 +39,34 @@ def chain_time(fn, v, x, floor, iters=64):
 
 
 EXTRA_SECTIONS = """
-(The sections below quote bench_frontend.py / bench_quantized.py runs and
-ablation experiments from 2026-08-16; re-run those scripts for current
-numbers.)
+(The sections below quote bench_frontend.py / bench_quantized.py /
+bench_loader.py / profile_train.py runs from 2026-08-17 (round 3); re-run
+those scripts for current numbers.)
 
-Train-step budget at B=128 (profiler trace, 29.6 ms total): convolution
-fusions 15.1 ms (fwd+bwd GEMMs, ~50% MFU), elementwise loop fusions
-~8 ms (dropout masks, BN, SpecAugment interp, Adam), layout copies
-3.0 ms, PRNG bits ~0.6 ms (uint8 FastDropout masks; nn.Dropout's
-uniform-float masks at uint32 cost 8.6 ms all-in).
-B=128 is the sweet spot — B=256/512 drop to 3.2k/2.6k utt/s. Two recorded
-negative results: depthwise conv as shifted multiply-adds (faster in
-isolation, -24% in context — breaks XLA fusion chains) and bf16 frontend
-in training (-3% only; the frontend is a small slice).
+Train-step budget at B=128 (profile_train.py trace, 25.8 ms total with the
+parity f32 frontend; 24.9 ms with the EER-validated bf16 frontend):
+convolution fusions 12.6 ms (fwd GEMMs ~80% MFU; bwd grouped-conv
+gradients at their bandwidth envelope — a shifted-adds custom-VJP swap
+measured WORSE, 32.6 ms/step), elementwise loop fusions 6.4 ms (BN
+apply/grad, dropout masks, SpecAugment interp, Adam), MSA param-prefetch
+copies 2.8 ms (~2000 tiny f32[256] VMEM stagings across fwd+bwd
+consumers; invariant to donation and optimizer choice — no user-side
+lever found), fused pooling kernels 1.2 ms (custom-call), PRNG bits
+1.1 ms, dropout-mask DMA 1.0 ms.
+
+Round-3 campaign (29.6 -> 24.9 ms/step, 4.3k -> 5.1k utt/s): deferred
+flat BatchNorm EMA (-~1 ms of 1 KB DMA-queue copies), folded bf16 BN
+apply, strided-GEMM DFT default, uniform-length fast path, fused
+attentive-pooling kernel with recompute VJP (-~1.5 ms), epilog-BN fold
+into that kernel (-~0.9 ms), bf16 frontend (-1 ms, quality-validated:
+docs/eer_bench bench6 lands inside the CE parity band). Roofline: the
+remaining step moves ~17 GB of HBM traffic per step; at 819 GB/s that is
+a ~20.5 ms floor for this fusion structure — 24.9 ms measured = ~82% of
+the bandwidth bound, with the gap mostly the MSA copies and sub-50%-MFU
+backward GEMMs. Recorded negative results (all measured in the FULL
+step): depthwise fwd as shifted adds (-24%), depthwise bwd custom VJP
+(32.6 ms), optax.flatten (+4.5 ms), shared bit-plane dropout pool
+(38.4 ms). B=128 is the sweet spot — B=256/512 drop to 3.2k/2.6k utt/s.
 
 ## Methodology (remote-TPU relay; hard-won)
 
@@ -84,18 +99,25 @@ Roofline: fused-kernel HBM traffic is ~1 KB/frame (wav in, mel out) = 45 us
 /batch floor; the measured 0.26 ms is MXU-bound (DFT ~32 GFLOP/batch incl.
 1.19x phase padding).
 
-## Serving stacks: TitaNet-S end-to-end (bench_quantized.py)
+NEW in round 3: 'default' precision is quality-VALIDATED for training —
+the bench6 EER band (bf16 frontend) lands inside the CE parity-frontend
+band on the hard corpus (docs/eer_bench/RESULTS.md). Enable with
+`audio.frontend_precision: default`.
+
+## Serving stacks: TitaNet-S end-to-end (bench_quantized.py, round 3)
 
 | stack | B=128 | utt/s/chip |
 |---|---|---|
-| mel->emb, bf16 flax encoder | 3.13 ms | 41.0k |
-| wav->emb, parity frontend + bf16 encoder | 4.62 ms | 27.7k |
-| wav->emb, fused frontend + bf16 encoder | **3.44 ms** | **37.2k** |
+| mel->emb, bf16 flax encoder | 2.44 ms | 52.4k |
+| wav->emb, parity frontend + bf16 encoder | 3.37 ms | 38.0k |
+| wav->emb, fused frontend + bf16 encoder | **2.77 ms** | **46.1k** |
 | wav->emb, fused frontend + int8 encoder | 31.7 ms | 4.0k |
 
-Single-utterance (B=1) wav->emb device latency with the fused frontend:
-**0.13 ms** (chained measurement; a remote client additionally pays the
-relay's ~25 ms RTT — on-pod serving sees the device number).
+(Round 2 for comparison: 3.13 / 4.62 / 3.44 ms — the fused pooling kernel
+with the epilog-BN fold lifted every bf16 stack ~20%.) B=1 wav->emb device
+latency with the fused frontend measured 0.13 ms in round 2 (chained; a
+remote client additionally pays the relay's ~25 ms RTT — on-pod serving
+sees the device number).
 
 ## Int8 quantization: quality yes, speed no (on this stack)
 
@@ -106,16 +128,17 @@ matmul throughput here is BELOW bf16 (119 TOP/s via XLA, 90 via a Pallas
 kernel, vs 207 TFLOP/s bf16 at the same shapes), so the int8 encoder is
 ~10x slower end-to-end. The int8 path ships as a tested capability (4x
 weight compression for memory-constrained serving); the speed path is bf16.
-Same honest-negative club as the fused mega-block kernel
-(`ops/pallas/megablock.py`: XLA's conv fusion wins, 11.5 vs 4.4 ms).
 
 ## Host-side loader (bench_loader.py)
 
 FLAC decode (first-party C++ decoder) -> chunk -> padded collation on this
-1-core host: **~278 utt/s** (single-core process) for 3 s utterances (threaded
-decode workers don't help at 1 core; they exist for multi-core hosts).
-Production math: the train step consumes ~4.3k utt/s/chip, so feeding one
-chip from raw FLAC needs ~16 host cores — or pre-decoded int16 storage
+1-core host: **~278 utt/s** (single-core process) for 3 s utterances; with
+the REAL training augmentation chain (chunk + continuous speed perturb +
+convolution reverb) throughput drops only ~10% (~250 utt/s) — decode
+dominates, which is why speed/reverb stay host-side (device-side batched
+equivalents exist in `ops/augment.py` for hosts that do saturate).
+Production math: the train step consumes ~5.1k utt/s/chip, so feeding one
+chip from raw FLAC needs ~20 host cores — or pre-decoded int16 storage
 (`transport_dtype="int16"` halves host->device bytes), per-host sharded
 loaders (multi-host wiring in `cli.py`), and the on-device frontend doing
 the rest (the reference instead re-ran STFT+mel per example per epoch on
@@ -125,12 +148,16 @@ the host).
 
 - **Win**: fully-fused wav->mel frontend, 1.4x best-XLA at serving
   precision (above) — layout-bound problem, kernel controls traffic.
+- **Win (round 3)**: fused attentive-pooling kernel with recompute
+  custom-VJP backward + epilog-BN fold (`ops/pallas/pool.py`): replaces
+  ~2.7 ms of XLA pooling-region work in the train step with 0.27 ms fwd +
+  0.91 ms bwd, and lifts bf16 serving stacks ~20% (table above) — the
+  [B, T, 1536] energies/activations never exist in HBM.
 - **Draw**: DFT..norm kernel with XLA framing — saves the spectrum
   round-trip but keeps the frames one.
 - **Loss (kept, documented)**: fused mega-block chain; int8 matmuls —
   GEMM-bound problems where XLA/MXU already sit at the roofline.
 """
-
 
 def main():
     import jax

@@ -44,7 +44,14 @@ def bench_tpu(wav: np.ndarray, speakers: np.ndarray) -> float:
     from titanet_tpu.train import create_train_state, make_optimizer, train_step
 
     jax.config.update("jax_default_prng_impl", "rbg")
-    frontend = FrontendConfig.from_ms()
+    # TITANET_BENCH_FRONTEND=default measures the bf16 training frontend —
+    # quality-validated on the hard-corpus EER benchmark (bench6 lands
+    # inside the CE parity-frontend band, docs/eer_bench/RESULTS.md)
+    import os
+
+    frontend = FrontendConfig.from_ms(
+        precision=os.environ.get("TITANET_BENCH_FRONTEND", "highest")
+    )
     dtype = jnp.bfloat16 if DTYPE == "bfloat16" else None
     model = get_titanet(model_size="s", n_mega_blocks=17, dtype=dtype)
     head = build_head("ce", 192, N_CLASSES)
