@@ -114,10 +114,10 @@ band on the hard corpus (docs/eer_bench/RESULTS.md). Enable with
 | wav->emb, fused frontend + int8 encoder | 31.7 ms | 4.0k |
 
 (Round 2 for comparison: 3.13 / 4.62 / 3.44 ms — the fused pooling kernel
-with the epilog-BN fold lifted every bf16 stack ~20%.) B=1 wav->emb device
-latency with the fused frontend measured 0.13 ms in round 2 (chained; a
-remote client additionally pays the relay's ~25 ms RTT — on-pod serving
-sees the device number).
+with the epilog-BN fold lifted every bf16 stack ~20%.) Single-utterance
+(B=1) wav->emb device latency with the fused frontend: **0.110 ms**
+(chained, round 3; a remote client additionally pays the relay's ~25 ms
+RTT — on-pod serving sees the device number).
 
 ## Int8 quantization: quality yes, speed no (on this stack)
 

@@ -51,7 +51,9 @@ def build_step(batch, seconds, n_classes, dtype, infer=False):
     )
     rng = np.random.default_rng(0)
     wav = jnp.asarray(rng.standard_normal((batch, n_samples)) * 0.1, jnp.float32)
-    lengths = jnp.full((batch,), n_samples, jnp.int32)
+    # uniform-length fast path (lengths=None), matching the training loop's
+    # packed-bucket batches and bench_train.py
+    lengths = None
     spk = jnp.asarray(rng.integers(0, n_classes, batch), jnp.int32)
 
     if infer:
