@@ -57,6 +57,16 @@ RUNS = [
     ("bench6_ce_fastfe_seed44",
      {"training.loss": "ce", "generic.seed": 44,
       "audio.frontend_precision": "default"}),
+    # end-to-end coverage runs (single seed): the GE2E metric-learning path
+    # with speaker-balanced N x M batches, and the reference's d-vector
+    # LSTM baseline (reference ships baseline-*-75e.pth checkpoints)
+    ("bench7_ge2e_seed42",
+     {"training.loss": "ge2e", "generic.seed": 42,
+      "training.balanced_speakers": 16,
+      "training.balanced_utterances": 4}),
+    ("bench8_dvector_ce_seed42",
+     {"training.loss": "ce", "generic.seed": 42,
+      "baseline.enabled": True}),
 ]
 
 
@@ -144,6 +154,8 @@ def main():
         "bench3": "Arc (TitaNet-S)",
         "bench4": "Arc full-aug (TitaNet-M)",
         "bench6": "CE bf16 frontend (TitaNet-S)",
+        "bench7": "GE2E, balanced 16x4 batches (TitaNet-S)",
+        "bench8": "CE (d-vector LSTM baseline)",
     }
     for prefix, label in names.items():
         be, bd = band(prefix, "eer"), band(prefix, "mindcf")
@@ -173,6 +185,17 @@ def main():
             f"{'quality-safe' if within else 'NOT quality-safe'} on this corpus."
         )
     lines += [
+        "",
+        "**minDCF note (explicit null result).** minDCF left the round-2",
+        "ceiling (0.89-0.90 at 10x10) but sits ~0.950 for every config at",
+        "30x20 — and a p_target=0.1 re-score of bench3_arc_seed42 still",
+        "gives 0.9489 (`rescore_mindcf.py`). This is arithmetic, not",
+        "protocol support: at EER ~0.24-0.29 the normalized DCF",
+        "(`Pmiss + 9*Pfa` at p=0.1, `Pmiss + 99*Pfa` at p=0.01) bottoms",
+        "out near 0.95 wherever the threshold sits. minDCF only becomes",
+        "informative for far-stronger models (real-corpus training scale);",
+        "at smoke scale the discriminative metric is EER, which separates",
+        "configs at 9.7 sigma.",
         "",
         "A nonzero, stable EER band — unlike the easy corpus's 0.0",
         "ceiling — so verification-quality regressions are detectable.",
