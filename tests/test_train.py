@@ -156,3 +156,19 @@ def test_optimizer_warmup_and_clip():
     # warmup: first step tiny, grows until step 10
     assert mags[0] < mags[5] < mags[9] * 1.01
     assert np.isfinite(mags).all()
+
+
+def test_train_xla_options(monkeypatch):
+    """Backend-conditional compiler options: env override wins; the TPU
+    default never leaks onto other backends (tests run on CPU)."""
+    from titanet_tpu.train.state import train_xla_options
+
+    monkeypatch.setenv("TITANET_TRAIN_XLA_OPTIONS",
+                       '{"xla_tpu_async_copy_bandwidth_scaling_factor": "1.0"}')
+    assert train_xla_options() == {
+        "xla_tpu_async_copy_bandwidth_scaling_factor": "1.0"
+    }
+    monkeypatch.setenv("TITANET_TRAIN_XLA_OPTIONS", "{}")
+    assert train_xla_options() == {}
+    monkeypatch.delenv("TITANET_TRAIN_XLA_OPTIONS")
+    assert (train_xla_options() == {}) == (jax.default_backend() != "tpu")

@@ -17,6 +17,8 @@ over an explicit :class:`TrainState`:
 from __future__ import annotations
 
 import functools
+import json
+import os
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -91,14 +93,51 @@ def create_train_state(
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "model", "head", "optimizer", "frontend", "augment", "renorm_head", "masked",
-    ),
-    donate_argnames=("state",),
-)
-def train_step(
+def train_xla_options() -> Dict[str, str]:
+    """Per-backend XLA compiler options for the train step.
+
+    On TPU, ``xla_tpu_async_copy_bandwidth_scaling_factor=2.0`` makes the
+    memory-space-assignment pass schedule its async param-prefetch copies
+    more aggressively; measured on v5e it cuts the TitaNet-S B=128 step
+    25.1 -> 24.4 ms, reproducibly, with 0.5/1.5/3.0 all worse (BENCHMARKS.md
+    "XLA compiler-option sweep"). Compiler scheduling only — the compiled
+    HLO and numerics are identical. Override (or disable with ``{}``) via
+    ``TITANET_TRAIN_XLA_OPTIONS`` as a JSON object.
+    """
+    env = os.environ.get("TITANET_TRAIN_XLA_OPTIONS")
+    if env is not None:
+        return dict(json.loads(env))
+    if jax.default_backend() == "tpu":
+        return {"xla_tpu_async_copy_bandwidth_scaling_factor": "2.0"}
+    return {}
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_train_step(options_items: tuple):
+    return jax.jit(
+        _train_step_impl,
+        static_argnames=(
+            "model", "head", "optimizer", "frontend", "augment",
+            "renorm_head", "masked",
+        ),
+        donate_argnames=("state",),
+        compiler_options=dict(options_items) or None,
+    )
+
+
+def train_step(state, waveform, lengths, speakers, **kwargs):
+    """One fused wav->grads->update step. Returns (new_state, metrics).
+
+    Thin dispatcher over a jitted implementation so backend-appropriate
+    compiler options (:func:`train_xla_options`) apply without the caller
+    threading them; jit caching is unaffected (one executable per options
+    set). ``state`` is donated — never reuse it after the call.
+    """
+    opts = tuple(sorted(train_xla_options().items()))
+    return _jitted_train_step(opts)(state, waveform, lengths, speakers, **kwargs)
+
+
+def _train_step_impl(
     state: TrainState,
     waveform: jax.Array,
     lengths: jax.Array,
@@ -112,7 +151,6 @@ def train_step(
     renorm_head: bool = False,
     masked: bool = False,
 ):
-    """One fused wav->grads->update step. Returns (new_state, metrics)."""
     key, k_aug, k_drop, k_pool = jax.random.split(state.key, 4)
     waveform = _dequantize_waveform(waveform)
     aug = _as_augment_config(augment)
