@@ -119,6 +119,39 @@ def test_titanet_train_step_runs():
     assert changed
 
 
+@pytest.mark.parametrize("policy", [None, "dots_saveable"])
+def test_remat_matches_plain_forward_and_grads(policy):
+    """`TitaNet(remat=True)` (either checkpoint policy) must be a pure
+    scheduling choice: identical loss and gradients to the plain model.
+    (Measured slower on TPU v5e at B=128 — BENCHMARKS.md negative results —
+    but kept as a memory lever; this guards its semantics.)"""
+    import dataclasses
+
+    base = TitaNet(n_mega_blocks=2, encoder_hidden_size=32, encoder_output_size=48,
+                   embedding_size=16, attention_hidden_size=8, dropout=0.3)
+    rem = dataclasses.replace(base, remat=True, remat_policy=policy)
+    mel = jnp.asarray(
+        np.random.default_rng(1).standard_normal((3, 101, 80)), jnp.float32
+    )
+    variables = base.init(jax.random.key(0), mel, train=False)
+
+    def loss_of(model):
+        def f(params):
+            emb, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                mel, train=True, mutable=["batch_stats", "batch_moments"],
+                rngs={"dropout": jax.random.key(7)},
+            )
+            return jnp.sum(emb**2)
+        return jax.value_and_grad(f)(variables["params"])
+
+    l0, g0 = jax.jit(lambda: loss_of(base))()
+    l1, g1 = jax.jit(lambda: loss_of(rem))()
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
 def test_optimizer_schedule_matches_reference_cosine():
     """Reference uses CosineAnnealingLR stepped per epoch
     (src/train.py:137-144): lr(e) = eta_min + (lr0-eta_min)*(1+cos(pi*e/T))/2.

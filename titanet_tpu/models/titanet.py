@@ -187,7 +187,14 @@ class Encoder(nn.Module):
     epilog_kernel_size: int = 1
     se_reduction: int = 16
     dropout: float = 0.5
-    remat: bool = False  # rematerialize mega-blocks (trade FLOPs for HBM)
+    # Rematerialize mega-blocks (trade FLOPs for activation memory). A
+    # MEASURED LOSS for speed at TitaNet-S B=128 (25.4 -> 26.6 ms/step
+    # full recompute, 27.7 with dots_saveable — BENCHMARKS.md negative
+    # results): the train step is HBM-bandwidth-bound and recomputed
+    # intermediates still cross HBM at fusion boundaries. Keep False
+    # unless activation memory is the constraint (very large B or T).
+    remat: bool = False
+    remat_policy: Optional[str] = None  # jax.checkpoint_policies name, e.g. "dots_saveable"
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
@@ -212,7 +219,15 @@ class Encoder(nn.Module):
         )(x, train=train, mask=mask)
         # nn.remat's static_argnums count the module itself at 0, so
         # (x, mask, drop_pool, train) puts `train` at argnum 4
-        mega_cls = nn.remat(MegaBlock, static_argnums=(4,)) if self.remat else MegaBlock
+        if self.remat:
+            policy = (
+                getattr(jax.checkpoint_policies, self.remat_policy)
+                if self.remat_policy
+                else None
+            )
+            mega_cls = nn.remat(MegaBlock, static_argnums=(4,), policy=policy)
+        else:
+            mega_cls = MegaBlock
         for i in range(self.n_mega_blocks):
             x = mega_cls(
                 features=self.hidden_size,
@@ -310,6 +325,7 @@ class TitaNet(nn.Module):
     simple_pool: bool = False
     dropout: float = 0.5
     remat: bool = False
+    remat_policy: Optional[str] = None
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
@@ -359,6 +375,7 @@ class TitaNet(nn.Module):
             se_reduction=self.se_reduction,
             dropout=self.dropout,
             remat=self.remat,
+            remat_policy=self.remat_policy,
             axis_name=self.axis_name,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
