@@ -78,3 +78,20 @@ def test_degenerate_inputs_do_not_nan():
     assert np.isfinite(float(m["loss"]))
     leaves = jax.tree.leaves(state.params)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_compilation_cache_round_trip(tmp_path, monkeypatch):
+    """enable_compilation_cache persists compiled executables to disk (new
+    capability vs the reference: remote TPU compiles cost ~5-60 s, so
+    restarted/resumed runs replay from the cache)."""
+    from titanet_tpu.utils import enable_compilation_cache
+
+    d = str(tmp_path / "xla_cache")
+    enable_compilation_cache(d)
+    try:
+        jax.jit(lambda x: x * 3 + 1)(jnp.ones((8,))).block_until_ready()
+        import os
+
+        assert any("cache" in f for f in os.listdir(d))
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)

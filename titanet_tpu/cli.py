@@ -34,7 +34,13 @@ from titanet_tpu.parallel import (
 )
 from titanet_tpu.train import create_train_state, make_optimizer
 from titanet_tpu.train.loop import run_verification, training_loop
-from titanet_tpu.utils import ConsoleLogger, JsonlLogger, WandbLogger, set_seed
+from titanet_tpu.utils import (
+    ConsoleLogger,
+    JsonlLogger,
+    WandbLogger,
+    enable_compilation_cache,
+    set_seed,
+)
 from titanet_tpu.utils import chart_dependencies as _chart_deps
 
 
@@ -98,6 +104,8 @@ def _synthetic_kwargs(cfg: Config) -> dict:
 def train(cfg: Config) -> None:
     if cfg.generic.fast_prng:
         jax.config.update("jax_default_prng_impl", "rbg")
+    if cfg.generic.compilation_cache_dir:
+        enable_compilation_cache(cfg.generic.compilation_cache_dir)
     key = set_seed(cfg.generic.seed)
     del key
     dtype = jnp.bfloat16 if cfg.training.dtype == "bfloat16" else None
@@ -283,6 +291,8 @@ def _rebuild_state(cfg: Config, n_speakers: int):
         # key dtype must match training's (rbg keys are uint32[4],
         # threefry uint32[2]) or the checkpoint restore shape-mismatches
         jax.config.update("jax_default_prng_impl", "rbg")
+    if cfg.generic.compilation_cache_dir:
+        enable_compilation_cache(cfg.generic.compilation_cache_dir)
     dtype = jnp.bfloat16 if cfg.training.dtype == "bfloat16" else None
     frontend = FrontendConfig.from_ms(
         sample_rate=cfg.audio.sample_rate,

@@ -220,6 +220,10 @@ class GenericConfig:
     # (measured: 79 -> 36 ms/step at B=128 bf16). Still deterministic per
     # seed; set false for threefry (jax default).
     fast_prng: bool = True
+    # Persistent XLA compilation cache directory ("" = disabled). Remote
+    # TPU compiles cost ~5-60 s per executable; restarts/resumes/eval-only
+    # runs with identical programs are served from this cache instead.
+    compilation_cache_dir: str = ""
 
 
 @_register
