@@ -64,8 +64,22 @@ RUNS = [
      {"training.loss": "ge2e", "generic.seed": 42,
       "training.balanced_speakers": 16,
       "training.balanced_utterances": 4}),
+    ("bench7_ge2e_seed43",
+     {"training.loss": "ge2e", "generic.seed": 43,
+      "training.balanced_speakers": 16,
+      "training.balanced_utterances": 4}),
+    ("bench7_ge2e_seed44",
+     {"training.loss": "ge2e", "generic.seed": 44,
+      "training.balanced_speakers": 16,
+      "training.balanced_utterances": 4}),
     ("bench8_dvector_ce_seed42",
      {"training.loss": "ce", "generic.seed": 42,
+      "baseline.enabled": True}),
+    ("bench8_dvector_ce_seed43",
+     {"training.loss": "ce", "generic.seed": 43,
+      "baseline.enabled": True}),
+    ("bench8_dvector_ce_seed44",
+     {"training.loss": "ce", "generic.seed": 44,
       "baseline.enabled": True}),
     # budget-scaling probe: same CE config at 150 epochs (with cosine
     # decay) — shows the benchmark tracks continued training improvement
@@ -75,8 +89,21 @@ RUNS = [
       "training.optimizer.scheduler": True}),
     # remaining loss-zoo heads (single seed): quality coverage for every
     # head in losses/heads.py (reference LOSSES registry src/losses.py:264)
+    # weight EMA (training.ema_decay, new capability): validation/test score
+    # the EMA weights; ~100-step averaging horizon at decay 0.99 vs the
+    # ~1200-step training budget
+    ("bench12_ce_ema_seed42",
+     {"training.loss": "ce", "generic.seed": 42, "training.ema_decay": 0.99}),
+    ("bench12_ce_ema_seed43",
+     {"training.loss": "ce", "generic.seed": 43, "training.ema_decay": 0.99}),
+    ("bench12_ce_ema_seed44",
+     {"training.loss": "ce", "generic.seed": 44, "training.ema_decay": 0.99}),
     ("bench10_cos_seed42", {"training.loss": "cos", "generic.seed": 42}),
+    ("bench10_cos_seed43", {"training.loss": "cos", "generic.seed": 43}),
+    ("bench10_cos_seed44", {"training.loss": "cos", "generic.seed": 44}),
     ("bench11_sphere_seed42", {"training.loss": "sphere", "generic.seed": 42}),
+    ("bench11_sphere_seed43", {"training.loss": "sphere", "generic.seed": 43}),
+    ("bench11_sphere_seed44", {"training.loss": "sphere", "generic.seed": 44}),
 ]
 
 
@@ -170,6 +197,7 @@ def main():
         "bench9": "CE 150-epoch budget probe (TitaNet-S)",
         "bench10": "CosFace (TitaNet-S)",
         "bench11": "SphereFace (TitaNet-S)",
+        "bench12": "CE + weight EMA 0.99 (TitaNet-S)",
     }
     for prefix, label in names.items():
         be, bd = band(prefix, "eer"), band(prefix, "mindcf")
@@ -197,6 +225,16 @@ def main():
             f"{'WITHIN band' if within else 'OUTSIDE band'} — the 'default'"
             f"-precision training frontend is "
             f"{'quality-safe' if within else 'NOT quality-safe'} on this corpus."
+        )
+    ema = band("bench12")
+    if ce and ema and ema[2] > 1:
+        within = abs(ema[0] - ce[0]) <= 2.0 * max(ce[1], 1e-9) + 2.0 * max(ema[1], 1e-9)
+        direction = "improves" if ema[0] < ce[0] else "does not improve"
+        lines.append(
+            f"- CE + weight EMA vs CE band: EER {ema[0]:.3f} ± {ema[1]:.3f} vs "
+            f"{ce[0]:.3f} ± {ce[1]:.3f} — "
+            + ("WITHIN band" if within else f"OUTSIDE band ({direction} EER)")
+            + " at this smoke scale."
         )
     long = band("bench9")
     if ce and long:

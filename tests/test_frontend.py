@@ -69,6 +69,47 @@ def test_power_spectrogram_matches_torch_stft():
     )
 
 
+@pytest.mark.parametrize(
+    "n_fft,win_ms,hop_ms,sr",
+    [
+        (256, 16, 8, 16000),   # small FFT, win == n_fft
+        (1024, 50, 25, 16000),  # large FFT, win < n_fft
+        (512, 20, 12, 16000),   # hop not a divisor of win
+        (400, 25, 10, 8000),    # non-power-of-two FFT, 8 kHz
+    ],
+)
+def test_spectrogram_matches_torch_stft_other_geometries(n_fft, win_ms, hop_ms, sr):
+    """Geometry fuzz: the framing/DFT paths must track torch.stft for
+    arbitrary (n_fft, win, hop, sample_rate) — not just the TitaNet default
+    — since the frontend config is fully user-settable (audio.spectrogram).
+    Covers both the strided-GEMM and conv-DFT implementations."""
+    cfg = FrontendConfig.from_ms(
+        sample_rate=sr, n_fft=n_fft, win_ms=win_ms, hop_ms=hop_ms
+    )
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((2, int(1.1 * sr))) * 0.1).astype(np.float32)
+    ref = torch.stft(
+        torch.from_numpy(x),
+        n_fft=n_fft,
+        hop_length=cfg.hop_length,
+        win_length=cfg.win_length,
+        window=torch.hann_window(cfg.win_length),
+        center=True,
+        pad_mode="reflect",
+        normalized=False,
+        onesided=True,
+        return_complex=True,
+    ).abs().pow(2).numpy()  # [B, bins, F]
+    for use_conv in (False, True):
+        cfg_i = cfg._replace(use_conv_dft=use_conv)
+        ours = np.asarray(spectrogram(jnp.asarray(x), cfg_i, power=2.0))
+        np.testing.assert_allclose(
+            ours.transpose(0, 2, 1), ref, rtol=1e-3, atol=1e-5,
+            err_msg=f"n_fft={n_fft} win={cfg.win_length} hop={cfg.hop_length} "
+                    f"sr={sr} conv={use_conv}",
+        )
+
+
 def test_frame_count_matches_torch():
     for t in (16000, 24000, 32000, 48000, 16001, 15999):
         x = _wave(1, t / CFG.sample_rate)

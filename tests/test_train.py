@@ -119,6 +119,91 @@ def test_titanet_train_step_runs():
     assert changed
 
 
+def test_uniform_fast_path_matches_lengths_path():
+    """`lengths=None` (packed-bucket fast path, used by the training loop
+    for fully-packed batches) must produce the SAME loss and parameters as
+    passing explicit full lengths — it drops the reflect fixup/masking ops,
+    not semantics."""
+    model = DumbConvNet(hidden_size=16, embedding_size=8, n_layers=1)
+    head = build_head("ce", 8, 4)
+    opt = make_optimizer(start_lr=1e-3)
+
+    def one(lengths):
+        state = create_train_state(
+            jax.random.key(0), model, head, opt, jnp.zeros((2, 101, 80)), 4
+        )
+        wav = jnp.asarray(
+            np.random.default_rng(0).standard_normal((4, 16000)) * 0.1, jnp.float32
+        )
+        return train_step(
+            state, wav, lengths, jnp.asarray([0, 1, 2, 3]),
+            model=model, head=head, optimizer=opt, frontend=FRONTEND,
+        )
+
+    s_fast, m_fast = one(None)
+    s_len, m_len = one(jnp.full((4,), 16000))
+    np.testing.assert_allclose(
+        float(m_fast["loss"]), float(m_len["loss"]), rtol=1e-6
+    )
+    for a, b in zip(jax.tree.leaves(s_fast.params), jax.tree.leaves(s_len.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        )
+
+
+def test_weight_ema_tracks_params(tmp_path):
+    """Weight EMA (training.ema_decay): e_t = d*e_{t-1} + (1-d)*p_t after
+    every update, eval swaps EMA weights in, and the EMA tree survives a
+    checkpoint round trip. (New capability vs the reference — SURVEY.md
+    §2.4 'no EMA'.)"""
+    from titanet_tpu.train import checkpoint as ckpt
+    from titanet_tpu.train import ema_eval_state
+
+    model = DumbConvNet(hidden_size=16, embedding_size=8, n_layers=1)
+    head = build_head("ce", 8, 4)
+    opt = make_optimizer(start_lr=1e-2)
+    state = create_train_state(
+        jax.random.key(0), model, head, opt, jnp.zeros((2, 101, 80)), 4, ema=True
+    )
+    p0 = jax.tree.map(np.asarray, state.params)
+    np.testing.assert_allclose(
+        jax.tree.leaves(state.ema_params)[0], jax.tree.leaves(p0)[0]
+    )
+    wav = jnp.asarray(
+        np.random.default_rng(0).standard_normal((4, 16000)) * 0.1, jnp.float32
+    )
+    lengths = jnp.full((4,), 16000)
+    speakers = jnp.asarray([0, 1, 2, 3])
+    d = 0.5
+    expect = p0
+    for _ in range(2):
+        state, _ = train_step(
+            state, wav, lengths, speakers, model=model, head=head,
+            optimizer=opt, frontend=FRONTEND, ema_decay=d,
+        )
+        p = jax.tree.map(np.asarray, state.params)
+        expect = jax.tree.map(lambda e, q: d * e + (1 - d) * q, expect, p)
+    for a, b in zip(jax.tree.leaves(state.ema_params), jax.tree.leaves(expect)):
+        np.testing.assert_allclose(np.asarray(a), b, rtol=1e-6, atol=1e-7)
+    # EMA differs from raw params and eval swaps it in
+    assert not np.allclose(
+        jax.tree.leaves(state.ema_params)[0], jax.tree.leaves(state.params)[0]
+    )
+    ev = ema_eval_state(state)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(ev.params)[0]),
+        np.asarray(jax.tree.leaves(state.ema_params)[0]),
+    )
+    # checkpoint round trip preserves the EMA tree
+    ckpt.save_checkpoint(str(tmp_path / "run"), 1, state)
+    restored, ep = ckpt.restore_latest(str(tmp_path / "run"), state)
+    assert ep == 1
+    for a, b in zip(
+        jax.tree.leaves(restored.ema_params), jax.tree.leaves(state.ema_params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.parametrize("policy", [None, "dots_saveable"])
 def test_remat_matches_plain_forward_and_grads(policy):
     """`TitaNet(remat=True)` (either checkpoint policy) must be a pure

@@ -206,7 +206,7 @@ def train(cfg: Config) -> None:
     )
     state = create_train_state(
         jax.random.key(cfg.generic.seed), model, head, optimizer, example_mel,
-        n_speakers,
+        n_speakers, ema=cfg.training.ema_decay > 0,
     )
 
     if cfg.generic.chart_dependencies:
@@ -266,6 +266,7 @@ def train(cfg: Config) -> None:
         frontend=frontend,
         augment=augment,
         renorm_head=cfg.training.loss in ("sphere", "cos", "arc"),
+        ema_decay=cfg.training.ema_decay or None,
         test_loader=test_loader,
         val_loader=val_loader,
         val_every=cfg.validation.every if cfg.validation.enabled else None,
@@ -322,7 +323,7 @@ def _rebuild_state(cfg: Config, n_speakers: int):
     )
     state = create_train_state(
         jax.random.key(cfg.generic.seed), model, head, optimizer, example_mel,
-        n_speakers,
+        n_speakers, ema=cfg.training.ema_decay > 0,
     )
     return model, head, frontend, state
 
@@ -354,8 +355,10 @@ def evaluate_checkpoint(cfg: Config, checkpoint_dir: str, epoch: Optional[int] =
         drop_last=False, chunk=ChunkConfig(enabled=False),
         sample_rate=cfg.audio.sample_rate, seed=cfg.generic.seed,
     )
+    from titanet_tpu.train import ema_eval_state
+
     metrics = run_verification(
-        state, loader, model=model, frontend=frontend,
+        ema_eval_state(state), loader, model=model, frontend=frontend,
         mindcf_p_target=cfg.test.mindcf_p_target,
         mindcf_c_fa=cfg.test.mindcf_c_fa, mindcf_c_miss=cfg.test.mindcf_c_miss,
         console=ConsoleLogger(enabled=True),

@@ -91,6 +91,9 @@ class TrainingConfig:
     # waveform wire format host->device for the TRAIN loader: int16 halves
     # the transfer (sources are 16-bit PCM); val/test stay float32
     transport_dtype: str = "int16"
+    # weight EMA decay per step (0.0 = off). When on, validation and the
+    # final verification test score the EMA weights (the deployable model)
+    ema_decay: float = 0.0
 
 
 @_register

@@ -21,5 +21,7 @@ from titanet_tpu.losses.heads import (  # noqa: F401
     CosFaceHead,
     GE2EHead,
     SphereFaceHead,
+    build_head,
     head_param_count,
+    renormalize_params,
 )

@@ -14,9 +14,12 @@ from titanet_tpu.train.state import (  # noqa: F401
     TrainState,
     accumulate_metrics,
     create_train_state,
+    ema_eval_state,
     embed_step,
+    embed_step_quantized,
     eval_step,
     init_metrics_acc,
     make_optimizer,
     train_step,
+    train_xla_options,
 )

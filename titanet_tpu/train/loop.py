@@ -38,6 +38,7 @@ from titanet_tpu.train.state import (
     TrainState,
     accumulate_metrics,
     embed_step,
+    ema_eval_state,
     eval_step,
     init_metrics_acc,
     train_step,
@@ -107,6 +108,7 @@ def train_one_epoch(
     frontend: FrontendConfig,
     augment=None,
     renorm_head: bool = False,
+    ema_decay: Optional[float] = None,
     console: Optional[ConsoleLogger] = None,
     batch_sharding=None,
     collect_embeddings: bool = False,
@@ -140,7 +142,7 @@ def train_one_epoch(
         state, metrics = train_step(
             state, wav, None if uniform else lengths, speakers,
             model=model, head=head, optimizer=optimizer, frontend=frontend,
-            augment=augment, renorm_head=renorm_head,
+            augment=augment, renorm_head=renorm_head, ema_decay=ema_decay,
         )
         acc = accumulate_metrics(acc, metrics["loss"], metrics["preds"], speakers)
         step += 1
@@ -290,6 +292,7 @@ def training_loop(
     frontend: FrontendConfig,
     augment=None,
     renorm_head: bool = False,
+    ema_decay: Optional[float] = None,  # weight EMA; eval/test use EMA weights
     test_loader: Optional[DataLoader] = None,
     val_loader: Optional[DataLoader] = None,
     val_every: Optional[int] = None,
@@ -335,8 +338,8 @@ def training_loop(
         state, metrics, (train_emb, train_targets) = train_one_epoch(
             epoch, epochs, state, train_loader,
             model=model, head=head, optimizer=optimizer, frontend=frontend,
-            augment=augment, renorm_head=renorm_head, console=console,
-            batch_sharding=batch_sharding,
+            augment=augment, renorm_head=renorm_head, ema_decay=ema_decay,
+            console=console, batch_sharding=batch_sharding,
             collect_embeddings=figures_dir is not None,
         )
         console.log_epoch("train", epoch, epochs, metrics)
@@ -361,8 +364,10 @@ def training_loop(
         if val_loader is not None and val_every is not None and (
             epoch % val_every == 0 or epoch == 1 or epoch == epochs
         ):
+            # with weight EMA on, validation/verification score the EMA
+            # weights (the deployable model); the raw params keep training
             val_metrics, (val_emb, val_targets) = evaluate(
-                epoch, epochs, state, val_loader,
+                epoch, epochs, ema_eval_state(state), val_loader,
                 model=model, head=head, frontend=frontend, console=console,
                 batch_sharding=batch_sharding,
                 collect_embeddings=figures_dir is not None,
@@ -405,7 +410,7 @@ def training_loop(
 
     if test_loader is not None:
         test_metrics = run_verification(
-            state, test_loader, model=model, frontend=frontend,
+            ema_eval_state(state), test_loader, model=model, frontend=frontend,
             mindcf_p_target=mindcf_p_target, mindcf_c_fa=mindcf_c_fa,
             mindcf_c_miss=mindcf_c_miss, console=console,
         )

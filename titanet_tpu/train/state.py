@@ -62,6 +62,11 @@ class TrainState(struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     key: jax.Array
+    # Exponential moving average of `params` (weight EMA — a training-
+    # quality capability the reference lacks, SURVEY.md §2.4 "no EMA").
+    # None unless create_train_state(..., ema=True); updated by train_step
+    # when `ema_decay` is passed; evaluated via ema_eval_state().
+    ema_params: Any = None
 
 
 def create_train_state(
@@ -71,6 +76,7 @@ def create_train_state(
     optimizer: optax.GradientTransformation,
     example_mel: jax.Array,
     n_classes: int,
+    ema: bool = False,
 ) -> Tuple[TrainState, Dict]:
     k_model, k_head, k_state = jax.random.split(key, 3)
     # jit the inits: eager initialization dispatches per-op, which is
@@ -90,7 +96,21 @@ def create_train_state(
         batch_stats=variables.get("batch_stats", {}),
         opt_state=jax.jit(optimizer.init)(params),
         key=k_state,
+        # distinct buffers, not aliases: the state is donated every step and
+        # donating one buffer reachable from two fields is an error
+        ema_params=jax.jit(lambda p: jax.tree.map(jnp.copy, p))(params)
+        if ema
+        else None,
     )
+
+
+def ema_eval_state(state: TrainState) -> TrainState:
+    """State with EMA weights swapped in for evaluation (identity when EMA
+    is off). The returned state shares buffers with the input — do NOT pass
+    it to a donating step."""
+    if state.ema_params is None:
+        return state
+    return state.replace(params=state.ema_params)
 
 
 def train_xla_options() -> Dict[str, str]:
@@ -118,7 +138,7 @@ def _jitted_train_step(options_items: tuple):
         _train_step_impl,
         static_argnames=(
             "model", "head", "optimizer", "frontend", "augment",
-            "renorm_head", "masked",
+            "renorm_head", "masked", "ema_decay",
         ),
         donate_argnames=("state",),
         compiler_options=dict(options_items) or None,
@@ -150,6 +170,7 @@ def _train_step_impl(
     augment: Optional[tuple] = None,  # (freq_ratio, freq_n, time_ratio, time_n, prob)
     renorm_head: bool = False,
     masked: bool = False,
+    ema_decay: Optional[float] = None,
 ):
     key, k_aug, k_drop, k_pool = jax.random.split(state.key, 4)
     waveform = _dequantize_waveform(waveform)
@@ -202,6 +223,14 @@ def _train_step_impl(
         # (src/losses.py:86)
         new_params = dict(new_params)
         new_params["head"] = renormalize_params(dict(new_params["head"]))
+    new_ema = state.ema_params
+    if ema_decay is not None and state.ema_params is not None:
+        # weight EMA (post-update, post-renorm): e <- d*e + (1-d)*p
+        new_ema = jax.tree.map(
+            lambda e, p: e * ema_decay + p.astype(e.dtype) * (1.0 - ema_decay),
+            state.ema_params,
+            new_params,
+        )
     metrics = {
         "loss": loss,
         "grad_norm": optax.global_norm(grads),
@@ -216,6 +245,7 @@ def _train_step_impl(
         batch_stats=new_stats,
         opt_state=new_opt_state,
         key=key,
+        ema_params=new_ema,
     )
     return new_state, metrics
 
