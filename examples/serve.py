@@ -49,13 +49,16 @@ def build_embedder(args):
         abstract = create_train_state(
             jax.random.key(0), model,
             build_head("ce", model.embedding_size, args.n_classes),
-            make_optimizer(), mel0, args.n_classes,
+            make_optimizer(), mel0, args.n_classes, ema=args.ema,
         )
         state, epoch = ckpt.restore_latest(args.checkpoint_dir, abstract)
         if state is None:
             raise FileNotFoundError(args.checkpoint_dir)
-        params, stats = state.params["backbone"], state.batch_stats
-        print(f"serving checkpoint epoch {epoch}")
+        # --ema: serve the EMA weights from an EMA-trained checkpoint
+        # (training.ema_decay > 0) — the deployable model
+        src = state.ema_params if args.ema else state.params
+        params, stats = src["backbone"], state.batch_stats
+        print(f"serving checkpoint epoch {epoch}" + (" (EMA weights)" if args.ema else ""))
     emb = SpeakerEmbedder(
         model, params, stats, frontend=cfg,
         buckets=[16000, 32000, 48000, 96000], batch_size=args.batch_size,
@@ -120,6 +123,9 @@ def main():
                         help="fused Pallas frontend at serving precision")
     parser.add_argument("--quantized", action="store_true",
                         help="int8 encoder (4x weight compression)")
+    parser.add_argument("--ema", action="store_true",
+                        help="serve EMA weights from an EMA-trained "
+                             "checkpoint (training.ema_decay > 0)")
     args = parser.parse_args()
     embedder = build_embedder(args)
     server = HTTPServer(("127.0.0.1", args.port), make_handler(embedder))
