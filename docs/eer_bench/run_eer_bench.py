@@ -107,6 +107,28 @@ RUNS = [
 ]
 
 
+LEDGER_PATH = os.path.join(OUT_DIR, "ledger.json")
+
+
+def _load_ledger():
+    """Committed record of finished runs ({run: {eer, mindcf}}).
+
+    Checkpoints are gitignored and may be wiped between sessions; the
+    ledger is committed alongside RESULTS.md so the runner never redoes a
+    recorded run. Values for pre-ledger runs were seeded from the
+    RESULTS.md table (3-decimal precision).
+    """
+    if os.path.exists(LEDGER_PATH):
+        with open(LEDGER_PATH) as f:
+            return json.load(f)
+    return {}
+
+
+def _write_ledger(ledger):
+    with open(LEDGER_PATH, "w") as f:
+        json.dump(ledger, f, indent=2)
+
+
 def _read_test_row(name):
     """Return the final test/eer row of a finished run, else None."""
     metrics_path = os.path.join(CKPT_ROOT, name, "metrics.jsonl")
@@ -138,6 +160,7 @@ def run_one(name, overrides):
 
 def main():
     results = []
+    ledger = _load_ledger()
     for name, overrides in RUNS:
         done = _read_test_row(name)
         if done is not None:
@@ -145,14 +168,26 @@ def main():
             results.append({"run": name, "eer": done["test/eer"],
                             "mindcf": done.get("test/mindcf"),
                             "training.run_name": name, **overrides})
+            ledger[name] = {"eer": done["test/eer"],
+                            "mindcf": done.get("test/mindcf")}
+            continue
+        if name in ledger:
+            print(f"[ledger] {name} recorded: eer={ledger[name]['eer']}")
+            results.append({"run": name, **ledger[name],
+                            "training.run_name": name, **overrides})
             continue
         print(f"[run] {name}")
         results.append(run_one(name, overrides))
         print(json.dumps(results[-1]))
+        if results[-1]["eer"] is not None:
+            ledger[name] = {"eer": results[-1]["eer"],
+                            "mindcf": results[-1]["mindcf"]}
+            _write_ledger(ledger)
         # checkpoint progress after each executed run (crash-resume aid);
         # the authoritative write with ALL rows happens after the loop
         with open(os.path.join(OUT_DIR, "summary.json"), "w") as f:
             json.dump(results, f, indent=2)
+    _write_ledger(ledger)
     with open(os.path.join(OUT_DIR, "summary.json"), "w") as f:
         json.dump(results, f, indent=2)
 
