@@ -70,6 +70,7 @@ def build_model(cfg: Config, dtype=None):
         attention_hidden_size=cfg.titanet.attention_hidden_size,
         simple_pool=cfg.titanet.simple_pool,
         dropout=cfg.titanet.dropout,
+        scan_blocks=cfg.titanet.scan_blocks,
         dtype=dtype,
     )
 

@@ -189,6 +189,10 @@ class TitanetConfig:
     attention_hidden_size: int = 128
     simple_pool: bool = False
     dropout: float = 0.1
+    # Run the mega-blocks as one lax.scan with [N]-stacked params: ~N-fold
+    # smaller encoder HLO (compile time); param layout changes — see
+    # models.stack_mega_block_params. Perf measured in BENCHMARKS.md.
+    scan_blocks: bool = False
 
 
 @_register

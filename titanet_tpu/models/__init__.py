@@ -21,6 +21,8 @@ from titanet_tpu.models.titanet import (  # noqa: F401
     count_params,
     find_n_mega_blocks,
     get_titanet,
+    stack_mega_block_params,
+    unstack_mega_block_params,
 )
 
 

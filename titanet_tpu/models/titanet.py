@@ -174,6 +174,49 @@ class MegaBlock(nn.Module):
         )(out, pool=drop_pool)
 
 
+class _MegaBlockScanBody(nn.Module):
+    """``nn.scan`` body: one MegaBlock in the ``(carry, ys)`` protocol.
+
+    Used by ``Encoder(scan_blocks=True)``: all N mega-blocks become ONE
+    traced block under ``lax.scan`` with parameters stacked on a leading
+    ``[N, ...]`` axis — the encoder HLO shrinks ~N-fold (compile time) and
+    every per-block param becomes a slice of one large HBM buffer instead
+    of its own tiny array. Per-block numerics are identical to the unrolled
+    path given the same stacked weights (tests/test_scan_blocks.py,
+    :func:`stack_mega_block_params`); dropout masks come from per-iteration
+    split RNG streams, so they differ from the unrolled layout's masks
+    (both are valid iid Bernoulli draws).
+
+    ``train`` is a module field (not a call arg) so the lifted transforms
+    (``nn.scan``, ``nn.remat``) see only array arguments."""
+
+    features: int
+    kernel_size: int
+    n_sub_blocks: int = 3
+    se_reduction: int = 16
+    dropout: float = 0.5
+    train: bool = False
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, drop_pool):
+        y = MegaBlock(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            n_sub_blocks=self.n_sub_blocks,
+            se_reduction=self.se_reduction,
+            dropout=self.dropout,
+            site_base=0,
+            axis_name=self.axis_name,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="block",
+        )(x, mask, drop_pool, self.train)
+        return y, ()
+
+
 class Encoder(nn.Module):
     """Prolog -> N MegaBlocks -> epilog (reference Encoder,
     src/models.py:342-404). Input [B, T, n_mels] -> output [B, T, output_size]."""
@@ -195,6 +238,11 @@ class Encoder(nn.Module):
     # unless activation memory is the constraint (very large B or T).
     remat: bool = False
     remat_policy: Optional[str] = None  # jax.checkpoint_policies name, e.g. "dots_saveable"
+    # Run the N mega-blocks as ONE lax.scan iteration with [N, ...]-stacked
+    # params instead of N unrolled copies (see _MegaBlockScanBody). Changes
+    # the param-tree layout (encoder/mega_blocks/block/... stacked) — use
+    # stack_mega_block_params to convert unrolled checkpoints/imports.
+    scan_blocks: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
@@ -217,15 +265,42 @@ class Encoder(nn.Module):
             name="prolog",
             **common,
         )(x, train=train, mask=mask)
+        remat_policy = (
+            getattr(jax.checkpoint_policies, self.remat_policy)
+            if self.remat_policy
+            else None
+        )
+        if self.scan_blocks:
+            body_cls = _MegaBlockScanBody
+            if self.remat:
+                body_cls = nn.remat(body_cls, policy=remat_policy)
+            scan_cls = nn.scan(
+                body_cls,
+                variable_axes={"params": 0, "batch_stats": 0, "batch_moments": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=self.n_mega_blocks,
+            )
+            x, _ = scan_cls(
+                features=self.hidden_size,
+                kernel_size=self.mega_block_kernel_size,
+                n_sub_blocks=self.n_sub_blocks,
+                se_reduction=self.se_reduction,
+                dropout=self.dropout,
+                train=train,
+                name="mega_blocks",
+                **common,
+            )(x, mask, drop_pool)
+            return ConvBlock1d(
+                features=self.output_size,
+                kernel_size=self.epilog_kernel_size,
+                name="epilog",
+                **common,
+            )(x, train=train, mask=mask, defer_apply=defer_epilog)
         # nn.remat's static_argnums count the module itself at 0, so
         # (x, mask, drop_pool, train) puts `train` at argnum 4
         if self.remat:
-            policy = (
-                getattr(jax.checkpoint_policies, self.remat_policy)
-                if self.remat_policy
-                else None
-            )
-            mega_cls = nn.remat(MegaBlock, static_argnums=(4,), policy=policy)
+            mega_cls = nn.remat(MegaBlock, static_argnums=(4,), policy=remat_policy)
         else:
             mega_cls = MegaBlock
         for i in range(self.n_mega_blocks):
@@ -326,6 +401,7 @@ class TitaNet(nn.Module):
     dropout: float = 0.5
     remat: bool = False
     remat_policy: Optional[str] = None
+    scan_blocks: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
@@ -333,7 +409,9 @@ class TitaNet(nn.Module):
     def dropout_pool_shape(self, batch: int, n_frames: int):
         """Shape of the shared u8 dropout bit pool for one train step, or
         None when bit-plane sharing does not apply (see FastDropout)."""
-        if self.dropout != 0.5:
+        if self.dropout != 0.5 or self.scan_blocks:
+            # scan_blocks: the static `site` planes would collide across
+            # scan iterations (every block is the same traced body)
             return None
         n_sites = self.n_mega_blocks * (self.n_sub_blocks + 1)
         return (-(-n_sites // 8), batch, n_frames, self.encoder_hidden_size)
@@ -376,6 +454,7 @@ class TitaNet(nn.Module):
             dropout=self.dropout,
             remat=self.remat,
             remat_policy=self.remat_policy,
+            scan_blocks=self.scan_blocks,
             axis_name=self.axis_name,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
@@ -411,6 +490,7 @@ def get_titanet(
     attention_hidden_size: int = 128,
     simple_pool: bool = False,
     dropout: float = 0.5,
+    scan_blocks: bool = False,
     dtype: Optional[jnp.dtype] = None,
     axis_name: Optional[str] = None,
     head_params_fn=None,
@@ -441,10 +521,42 @@ def get_titanet(
         attention_hidden_size=attention_hidden_size,
         simple_pool=simple_pool,
         dropout=dropout,
+        scan_blocks=scan_blocks,
         dtype=dtype,
         axis_name=axis_name,
         **_SIZE_PRESETS[size],
     )
+
+
+def stack_mega_block_params(collection: dict, n_mega_blocks: int) -> dict:
+    """Convert one variable collection (params / batch_stats / ...) from the
+    unrolled layout (``encoder/mega_block_{i}/...``) to the ``scan_blocks``
+    layout (``encoder/mega_blocks/block/...`` with a leading ``[N]`` axis).
+
+    Lets unrolled checkpoints and torch imports
+    (:func:`titanet_tpu.utils.torch_compat.convert_titanet_state_dict`) load
+    into scan models; the inverse is :func:`unstack_mega_block_params`.
+    """
+    enc = dict(collection["encoder"])
+    blocks = [enc.pop(f"mega_block_{i}") for i in range(n_mega_blocks)]
+    enc["mega_blocks"] = {
+        "block": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    }
+    out = dict(collection)
+    out["encoder"] = enc
+    return out
+
+
+def unstack_mega_block_params(collection: dict) -> dict:
+    """Inverse of :func:`stack_mega_block_params`."""
+    enc = dict(collection["encoder"])
+    stacked = enc.pop("mega_blocks")["block"]
+    n = jax.tree.leaves(stacked)[0].shape[0]
+    for i in range(n):
+        enc[f"mega_block_{i}"] = jax.tree.map(lambda x: x[i], stacked)
+    out = dict(collection)
+    out["encoder"] = enc
+    return out
 
 
 def count_params(model: nn.Module, n_mels: int = 80) -> int:
