@@ -71,6 +71,24 @@ def test_titanet_forward_matches_reference(ref_models):
     assert np.all(1.0 - cos < 1e-5), f"cosine drift too high: {1 - cos}"
 
 
+def test_titanet_scan_layout_torch_import_parity(ref_models):
+    """Reference torch weights -> converter -> stack -> scan_blocks model:
+    the full import path into the scanned layout stays within parity budget."""
+    from titanet_tpu.models import stack_mega_block_params
+
+    tmodel, jmodel, variables = _make_pair(ref_models)
+    smodel = jmodel.clone(scan_blocks=True)
+    svars = {k: stack_mega_block_params(variables[k], 2) for k in variables}
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((3, 80, 57)).astype(np.float32)
+    with torch.no_grad():
+        ref_emb = tmodel(torch.from_numpy(x)).numpy()
+    out = smodel.apply(svars, jnp.asarray(x.transpose(0, 2, 1)), train=False)
+    ours = np.asarray(l2_normalize(out))
+    cos = (ours * ref_emb).sum(-1)
+    assert np.all(1.0 - cos < 1e-5), f"cosine drift too high: {1 - cos}"
+
+
 def test_titanet_param_counts_match_reference(ref_models):
     # exact per-architecture param-count equality with the reference builder
     for size, hidden, kernel in [("s", 256, 3)]:
