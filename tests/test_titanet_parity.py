@@ -235,6 +235,18 @@ def test_load_reference_checkpoint_file(ref_models, tmp_path):
     params2, _ = load_reference_checkpoint(path)
     jax.tree.map(np.testing.assert_array_equal, params, params2)
 
+    # scan_blocks=True restacks for the scanned layout (N inferred)
+    sparams, sstats = load_reference_checkpoint(path, scan_blocks=True)
+    smodel = jmodel.clone(scan_blocks=True)
+    souts = smodel.apply(
+        {"params": jax.tree.map(jnp.asarray, sparams),
+         "batch_stats": jax.tree.map(jnp.asarray, sstats)},
+        jnp.asarray(x.transpose(0, 2, 1)), train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(l2_normalize(souts)), ref, rtol=1e-4, atol=1e-5
+    )
+
 
 def test_head_migration_from_reference_checkpoint(ref_models, tmp_path):
     """Reference checkpoints include the loss head under loss_function.*;

@@ -183,18 +183,28 @@ def convert_head_state_dict(sd: Dict):
     return None
 
 
-def load_reference_checkpoint(path: str, with_head: bool = False):
+def load_reference_checkpoint(
+    path: str, with_head: bool = False, scan_blocks: bool = False
+):
     """Load a reference ``.pth`` checkpoint file (requires torch).
 
     Returns ``(params, batch_stats)``, or ``(params, batch_stats, head)``
     with ``with_head=True`` (head is None when the checkpoint was saved
-    without a loss module).
+    without a loss module). ``scan_blocks=True`` restacks the mega-block
+    subtrees for a ``TitaNet(scan_blocks=True)`` model (the block count is
+    inferred from the checkpoint).
     """
     import torch
 
     blob = torch.load(path, map_location="cpu", weights_only=True)
     sd = blob.get("model", blob) if isinstance(blob, dict) else blob
     params, stats = convert_titanet_state_dict(sd)
+    if scan_blocks:
+        from titanet_tpu.models.titanet import stack_mega_block_params
+
+        n = sum(k.startswith("mega_block_") for k in params["encoder"])
+        params = stack_mega_block_params(params, n)
+        stats = stack_mega_block_params(stats, n)
     if with_head:
         return params, stats, convert_head_state_dict(sd)
     return params, stats
