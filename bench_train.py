@@ -53,7 +53,10 @@ def bench_tpu(wav: np.ndarray, speakers: np.ndarray) -> float:
         precision=os.environ.get("TITANET_BENCH_FRONTEND", "highest")
     )
     dtype = jnp.bfloat16 if DTYPE == "bfloat16" else None
-    model = get_titanet(model_size="s", n_mega_blocks=17, dtype=dtype)
+    # TITANET_BENCH_SCAN=1 measures the scan_blocks encoder layout
+    scan = os.environ.get("TITANET_BENCH_SCAN", "") == "1"
+    model = get_titanet(model_size="s", n_mega_blocks=17, dtype=dtype,
+                        scan_blocks=scan)
     head = build_head("ce", 192, N_CLASSES)
     opt = make_optimizer(start_lr=1e-3)
     state = create_train_state(

@@ -43,7 +43,12 @@ def build_step(batch, seconds, n_classes, dtype, infer=False):
     jax.config.update("jax_default_prng_impl", "rbg")
     n_samples = int(seconds * 16000)
     frontend = FrontendConfig.from_ms()
-    model = get_titanet(model_size="s", n_mega_blocks=17, dtype=jnp.dtype(dtype))
+    import os
+
+    model = get_titanet(
+        model_size="s", n_mega_blocks=17, dtype=jnp.dtype(dtype),
+        scan_blocks=os.environ.get("TITANET_BENCH_SCAN", "") == "1",
+    )
     head = build_head("ce", 192, n_classes)
     opt = make_optimizer(start_lr=1e-3)
     state = create_train_state(
@@ -81,6 +86,97 @@ def build_step(batch, seconds, n_classes, dtype, infer=False):
         return state
 
     return step, state
+
+
+def parse_hlo_components(hlo_text):
+    """Map each top-level HLO instruction name -> list of component labels.
+
+    Components come from the ``op_name`` metadata XLA carries per
+    instruction (flax module paths, e.g.
+    ``jit(f)/transpose(jvp(TitaNet))/encoder/mega_block_3/sub_block_0/...``).
+    Fusions attribute to every instruction inside their fused computation
+    (proportional split downstream). ``transpose(`` in the path marks the
+    backward pass.
+    """
+    import re
+
+    # computation name -> list of op_name metadata inside it
+    comp_ops = collections.defaultdict(list)
+    # top-level instruction name -> (called computation | own metadata)
+    calls = {}
+    own_meta = {}
+    current = "entry"
+    for line in hlo_text.splitlines():
+        s = line.strip()
+        m = re.match(r"%?([\w.\-]+)\s*(?:\([^)]*\))?\s*->.*{$", s)
+        if s.endswith("{") and ("fused_computation" in s or s.startswith("ENTRY")
+                                or re.match(r"%?[\w.\-]+ \(", s)):
+            name = s.split()[0].lstrip("%").split("(")[0].rstrip()
+            current = "entry" if s.startswith("ENTRY") else name
+        mm = re.match(r"(?:ROOT )?%?([\w.\-]+) = .*", s)
+        if not mm:
+            continue
+        inst = mm.group(1)
+        meta = re.search(r'op_name="([^"]+)"', s)
+        if meta:
+            comp_ops[current].append(meta.group(1))
+            own_meta[(current, inst)] = meta.group(1)
+        c = re.search(r"calls=%?([\w.\-]+)", s)
+        if c:
+            calls[(current, inst)] = c.group(1)
+    return comp_ops, calls, own_meta
+
+
+def component_of(op_name):
+    """(component, direction) from an op_name metadata path."""
+    import re
+
+    # parameter-staging instructions carry the pytree path, e.g.
+    # v['params']['encoder']['mega_block_0'][...] — the MSA prefetch copies
+    keys = re.findall(r"\[\\?'([^'\\\]]+)\\?'\]", op_name)
+    if keys:
+        tree = [k for k in keys if k not in ("params", "batch_stats")]
+        return "param-copy " + "/".join(tree[:2]), "-"
+    parts = op_name.split("/")
+    last_wrap = -1
+    for i, p in enumerate(parts):
+        if "(" in p:
+            last_wrap = i
+    direction = "bwd" if any("transpose(" in p for p in parts) else "fwd"
+    tail = parts[last_wrap + 1:]
+    if not tail:
+        return "other", direction
+    # trim module class wrapper (TitaNet) if present, keep 2 path segments
+    if tail and tail[0] in ("TitaNet", "_MegaBlockScanBody"):
+        tail = tail[1:]
+    comp = "/".join(tail[:2]) if tail else "other"
+    return comp or "other", direction
+
+
+def attribute_trace(by_op, hlo_text):
+    """Proportionally attribute per-op device time to model components."""
+    comp_ops, calls, own_meta = parse_hlo_components(hlo_text)
+    budget = collections.Counter()
+    unmatched = 0.0
+    for inst, dur in by_op.items():
+        key = ("entry", inst)
+        metas = []
+        if key in calls and calls[key] in comp_ops:
+            metas = comp_ops[calls[key]]
+        elif key in own_meta:
+            metas = [own_meta[key]]
+        else:
+            # search any computation defining this instruction
+            hits = [m for (c, i), m in own_meta.items() if i == inst]
+            metas = hits
+        if not metas:
+            unmatched += dur
+            budget[("<unmatched>", "-")] += dur
+            continue
+        share = dur / len(metas)
+        for m in metas:
+            budget[component_of(m)] += share
+    return budget, unmatched
 
 
 def parse_trace(logdir, n_steps):
@@ -127,6 +223,12 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--infer", action="store_true")
+    ap.add_argument(
+        "--attr", action="store_true",
+        help="per-component attribution: join trace op durations to the "
+        "compiled HLO's op_name metadata (approximate — fusion time is "
+        "split evenly across the fused instructions' components)",
+    )
     ap.add_argument("--logdir", default=None)
     args = ap.parse_args()
 
@@ -137,6 +239,11 @@ def main():
     step, carry = build_step(
         args.batch, args.seconds, args.classes, args.dtype, infer=args.infer
     )
+    hlo_text = None
+    if args.attr:
+        # one outer jit so the executable we run IS the text we parse
+        step = jax.jit(step, donate_argnums=() if args.infer else 0)
+        hlo_text = step.lower(carry).compile().as_text()
     carry = step(carry)  # compile + warm
     jax.block_until_ready(carry)
 
@@ -147,6 +254,15 @@ def main():
         jax.block_until_ready(carry)
 
     by_cat, by_op, op_cat = parse_trace(logdir, args.steps)
+    if args.attr:
+        budget, unmatched = attribute_trace(by_op, hlo_text)
+        total_attr = sum(budget.values())
+        print(f"\n== per-component device time (approximate; unmatched "
+              f"{100.0 * unmatched / max(total_attr, 1):.1f}%) ==")
+        for (comp, direction), us in budget.most_common(30):
+            print(f"  {comp:<36} {direction:<4} "
+                  f"{us / args.steps / 1e3:8.3f} ms "
+                  f"({100.0 * us / total_attr:5.1f}%)")
     total = sum(by_cat.values())
     print(f"\n== per-step device time by hlo_category "
           f"({args.steps} steps, B={args.batch}) ==")
