@@ -276,6 +276,50 @@ def test_optimizer_warmup_and_clip():
     assert np.isfinite(mags).all()
 
 
+def test_optimizer_gradient_accumulation():
+    """accumulate_steps=k: params frozen for k-1 micro-steps, then one
+    update equal to SGD on the MEAN of the k micro-grads."""
+    opt = make_optimizer(name="sgd", start_lr=1.0, accumulate_steps=2)
+    params = {"w": jnp.ones(3)}
+    state = opt.init(params)
+    g1 = {"w": jnp.asarray([1.0, 2.0, 3.0])}
+    g2 = {"w": jnp.asarray([3.0, 2.0, 1.0])}
+    u1, state = opt.update(g1, state, params)
+    assert float(jnp.abs(u1["w"]).max()) == 0.0  # no update yet
+    u2, state = opt.update(g2, state, params)
+    np.testing.assert_allclose(np.asarray(u2["w"]), [-2.0, -2.0, -2.0])
+
+    # full train_step integration: params move only on the k-th step
+    n_speakers = 4
+    _, loader = _loader(n_speakers=n_speakers)
+    model = DumbConvNet(hidden_size=32, embedding_size=16, n_layers=1)
+    head = build_head("ce", 16, n_speakers)
+    acc_opt = make_optimizer(start_lr=3e-3, accumulate_steps=2)
+    state = create_train_state(
+        jax.random.key(0), model, head, acc_opt, jnp.zeros((2, 101, 80)),
+        n_speakers,
+    )
+    kwargs = dict(model=model, head=head, optimizer=acc_opt, frontend=FRONTEND)
+    it = iter(loader)
+    batch = next(it)
+    p0 = jax.tree.map(jnp.array, state.params)
+    state, _ = train_step(
+        state, jnp.asarray(batch.waveform), jnp.asarray(batch.lengths),
+        jnp.asarray(batch.speaker_ids), **kwargs,
+    )
+    same = jax.tree.all(jax.tree.map(
+        lambda a, b: bool(jnp.array_equal(a, b)), p0, state.params))
+    assert same, "params must not move on the first micro-step"
+    batch = next(it)
+    state, _ = train_step(
+        state, jnp.asarray(batch.waveform), jnp.asarray(batch.lengths),
+        jnp.asarray(batch.speaker_ids), **kwargs,
+    )
+    same = jax.tree.all(jax.tree.map(
+        lambda a, b: bool(jnp.array_equal(a, b)), p0, state.params))
+    assert not same, "params must update on the accumulation boundary"
+
+
 def test_train_xla_options(monkeypatch):
     """Backend-conditional compiler options: env override wins; the TPU
     default never leaks onto other backends (tests run on CPU)."""

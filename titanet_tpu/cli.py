@@ -200,6 +200,7 @@ def train(cfg: Config) -> None:
         steps_per_epoch=steps_per_epoch,
         warmup_epochs=cfg.training.optimizer.warmup_epochs,
         grad_clip_norm=cfg.training.optimizer.grad_clip_norm,
+        accumulate_steps=cfg.training.optimizer.accumulate_steps,
     )
 
     example_mel = jnp.zeros(
@@ -318,6 +319,7 @@ def _rebuild_state(cfg: Config, n_speakers: int):
         total_epochs=cfg.training.epochs,
         warmup_epochs=cfg.training.optimizer.warmup_epochs,
         grad_clip_norm=cfg.training.optimizer.grad_clip_norm,
+        accumulate_steps=cfg.training.optimizer.accumulate_steps,
     )
     example_mel = jnp.zeros(
         (2, frontend.num_frames(cfg.audio.sample_rate), cfg.audio.spectrogram.n_mels)

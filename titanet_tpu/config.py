@@ -64,6 +64,9 @@ class OptimizerConfig:
     # TPU additions (absent in reference)
     warmup_epochs: int = 0
     grad_clip_norm: Optional[float] = None
+    # gradient accumulation: average grads over k micro-batches, update
+    # params every k-th step (optax.MultiSteps; effective batch = k x B)
+    accumulate_steps: int = 1
 
 
 @_register

@@ -398,11 +398,19 @@ def make_optimizer(
     steps_per_epoch: int = 1,
     warmup_epochs: int = 0,
     grad_clip_norm: Optional[float] = None,
+    accumulate_steps: int = 1,
 ) -> optax.GradientTransformation:
     """Adam/SGD + optional cosine decay, matching reference train.py:130-144
     (reference steps the scheduler per EPOCH; we translate to per-step).
     Weight decay uses torch Adam semantics (L2 added to gradient) when
-    nonzero."""
+    nonzero.
+
+    ``accumulate_steps > 1`` wraps the chain in ``optax.MultiSteps``:
+    gradients average over k micro-batches and params update every k-th
+    step (effective batch = k x batch_size with the same memory). The
+    schedule advances once per REAL update. Caveat: BatchNorm batch
+    statistics still update every micro-batch (running stats see the
+    micro-batch size) — the standard grad-accumulation semantics."""
     if scheduler:
         lr: Any = optax.cosine_decay_schedule(
             init_value=start_lr,
@@ -431,4 +439,7 @@ def make_optimizer(
     # copies are MSA prefetches of per-site conv/BN params across fwd+bwd
     # consumers, not optimizer staging (SGD vs Adam measures identically),
     # and the flat round-trip adds concat+slice traffic on top.
-    return optax.chain(*chain)
+    opt = optax.chain(*chain)
+    if accumulate_steps > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=accumulate_steps)
+    return opt
