@@ -31,8 +31,12 @@ def bench_tpu(mel: np.ndarray) -> float:
 
     from titanet_tpu.models import get_titanet, l2_normalize
 
+    import os
+
     dtype = jnp.bfloat16 if DTYPE == "bfloat16" else None
-    model = get_titanet(model_size="s", n_mega_blocks=17, dtype=dtype)
+    # TITANET_BENCH_SCAN=1 measures the scan_blocks encoder layout
+    model = get_titanet(model_size="s", n_mega_blocks=17, dtype=dtype,
+                        scan_blocks=os.environ.get("TITANET_BENCH_SCAN", "") == "1")
     x = jnp.asarray(mel, jnp.bfloat16 if dtype else jnp.float32)
     variables = jax.jit(model.init)(jax.random.key(0), x[:1])
 

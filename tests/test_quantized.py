@@ -72,6 +72,20 @@ def test_quantized_titanet_embedding_cosine():
     assert (cos > 0.99).all(), cos
 
 
+def test_quantized_titanet_from_scan_layout():
+    """quantize_titanet auto-unstacks scan_blocks variables; the result is
+    leaf-identical to quantizing the equivalent unrolled variables."""
+    from titanet_tpu.models import stack_mega_block_params
+
+    model, variables, x = _model_and_vars()
+    q_ref = quantize_titanet(model, variables)
+    svars = {k: stack_mega_block_params(variables[k], model.n_mega_blocks)
+             for k in variables}
+    q_scan = quantize_titanet(model.clone(scan_blocks=True), svars)
+    for a, b in zip(jax.tree.leaves(q_ref), jax.tree.leaves(q_scan)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_quantized_titanet_masked():
     model, variables, x = _model_and_vars(n_mega=1)
     mask = jnp.ones((2, 64)).at[1, 40:].set(0.0)

@@ -111,9 +111,18 @@ class QuantTitaNet(struct.PyTreeNode):
 
 
 def quantize_titanet(model: TitaNet, variables) -> QuantTitaNet:
-    """Extract + fold + quantize a trained TitaNet's variables (run once)."""
+    """Extract + fold + quantize a trained TitaNet's variables (run once).
+
+    Accepts either encoder layout: unrolled (``encoder/mega_block_{i}``)
+    or ``scan_blocks`` (``encoder/mega_blocks``, auto-unstacked).
+    """
+    from titanet_tpu.models.titanet import unstack_mega_block_params
+
     params = variables["params"]
     stats = variables["batch_stats"]
+    if "mega_blocks" in params["encoder"]:
+        params = unstack_mega_block_params(params)
+        stats = unstack_mega_block_params(stats)
     enc_p, enc_s = params["encoder"], stats["encoder"]
 
     prolog_bn = fold_bn(
