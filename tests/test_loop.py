@@ -174,6 +174,61 @@ def test_cli_eval_checkpoint(tmp_path):
     assert 0 <= metrics["test/eer"] <= 1
 
 
+def test_cli_infer_checkpoint(tmp_path):
+    """CLI infer subcommand: dataset mode (split utterances -> npz + figure)
+    and audio-file mode (arbitrary wav files via SpeakerEmbedder)."""
+    from titanet_tpu.cli import infer_checkpoint
+    from titanet_tpu.data.audio_io import write_wav
+
+    cfg = Config.from_dict(
+        {
+            "dataset": {"name": "synthetic"},
+            "dumb": {"enabled": True, "n_layers": 1, "hidden_size": 16},
+            "generic": {"embedding_size": 8, "fast_prng": False},
+            "training": {
+                "epochs": 1,
+                "checkpoints_path": str(tmp_path),
+                "checkpoints_frequency": 1,
+            },
+            "validation": {"num_utterances_per_speaker": 2},
+            "test": {"num_speakers": 4, "num_utterances_per_speaker": 2},
+        }
+    )
+    ds, model, head, opt, state = _setup(n_speakers=8)
+    loader = DataLoader(ds, batch_size=8, chunk=ChunkConfig(enabled=False), prefetch=0)
+    training_loop(
+        "inferrun", 1, state, loader, str(tmp_path),
+        model=model, head=head, optimizer=opt, frontend=FRONTEND,
+        checkpoints_frequency=1,
+    )
+
+    out = tmp_path / "emb.npz"
+    fig = tmp_path / "emb.png"
+    emb, labels = infer_checkpoint(
+        cfg, str(tmp_path / "inferrun"), split="test", num_utterances=6,
+        out_path=str(out), fig_path=str(fig),
+    )
+    assert emb.shape == (6, 8) and len(labels) == 6
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, rtol=1e-3)
+    saved = np.load(out)
+    np.testing.assert_array_equal(saved["embeddings"], emb)
+    assert fig.exists()
+
+    # audio-file mode: labels are file stems, any sample rate accepted
+    rng = np.random.default_rng(0)
+    paths = []
+    for name, sr in (("a", 16000), ("b", 8000)):
+        p = tmp_path / f"{name}.wav"
+        write_wav(str(p), rng.standard_normal(sr).astype(np.float32) * 0.1, sr)
+        paths.append(str(p))
+    emb2, labels2 = infer_checkpoint(
+        cfg, str(tmp_path / "inferrun"), audio_paths=paths,
+    )
+    assert emb2.shape == (2, 8)
+    assert list(labels2) == ["a", "b"]
+    np.testing.assert_allclose(np.linalg.norm(emb2, axis=1), 1.0, rtol=1e-3)
+
+
 def test_reference_parameters_yml_drives_build():
     """The reference repo's own parameters.yml loads and builds our model,
     head, and frontend unchanged (migration path)."""

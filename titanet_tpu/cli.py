@@ -2,8 +2,9 @@
 
 Rebuild of the reference CLI (``/root/reference/src/train.py``): the same
 YAML schema drives model/loss/data/augmentation selection; new subcommands
-``eval`` (verification EER/minDCF from a checkpoint) and ``bench`` go beyond
-the reference.
+``eval`` (verification EER/minDCF from a checkpoint) and ``infer`` (embed
+dataset utterances or arbitrary audio files, reference ``learn.infer``
+src/learn.py:462-493) go beyond the reference.
 """
 
 from __future__ import annotations
@@ -370,6 +371,106 @@ def evaluate_checkpoint(cfg: Config, checkpoint_dir: str, epoch: Optional[int] =
     return metrics
 
 
+def infer_checkpoint(
+    cfg: Config,
+    checkpoint_dir: str,
+    epoch: Optional[int] = None,
+    audio_paths: Optional[list] = None,
+    split: str = "test",
+    num_utterances: int = 64,
+    out_path: Optional[str] = None,
+    fig_path: Optional[str] = None,
+):
+    """Embed utterances with a saved checkpoint (reference ``learn.infer``,
+    src/learn.py:462-493, which only existed inside the notebook).
+
+    Two modes:
+      * ``audio_paths`` given: embed arbitrary wav/flac files (any length —
+        geometric length buckets + windowing via ``SpeakerEmbedder``);
+        labels are the file stems.
+      * otherwise: embed ``num_utterances`` utterances from the config's
+        ``split`` dataset, labels are speaker ids (the notebook's
+        visualization path).
+
+    Saves embeddings (+ labels) to ``out_path`` (.npz) and, when
+    ``fig_path`` is given, the reference-style 2-D projection scatter.
+    Returns ``(embeddings [N, E], labels [N])``.
+    """
+    import numpy as np
+
+    from titanet_tpu.train import checkpoint as ckpt
+    from titanet_tpu.train import ema_eval_state
+
+    _, val_ds, test_ds, n_speakers = get_datasets(
+        cfg.dataset.root,
+        name=cfg.dataset.name,
+        val=cfg.validation.enabled,
+        val_utterances_per_speaker=cfg.validation.num_utterances_per_speaker,
+        test=True,
+        test_speakers=cfg.test.num_speakers,
+        test_utterances_per_speaker=cfg.test.num_utterances_per_speaker,
+        **_synthetic_kwargs(cfg),
+    )
+    model, head, frontend, abstract = _rebuild_state(cfg, n_speakers)
+    if epoch is None:
+        state, epoch = ckpt.restore_latest(checkpoint_dir, abstract)
+        if state is None:
+            raise FileNotFoundError(f"no checkpoint under {checkpoint_dir}")
+    else:
+        state = ckpt.restore_checkpoint(checkpoint_dir, epoch, abstract)
+    state = ema_eval_state(state)
+
+    if audio_paths:
+        from titanet_tpu.data.audio_io import read_audio
+        from titanet_tpu.data.loader import _resample_host
+        from titanet_tpu.train.extractor import SpeakerEmbedder
+
+        wavs, labels = [], []
+        for path in audio_paths:
+            wav, sr = read_audio(path)
+            wav = np.asarray(wav, np.float32).reshape(-1)
+            if sr != cfg.audio.sample_rate:
+                wav = _resample_host(wav, sr, cfg.audio.sample_rate)
+            wavs.append(wav)
+            labels.append(os.path.splitext(os.path.basename(path))[0])
+        embedder = SpeakerEmbedder(
+            model=model,
+            params=state.params["backbone"],
+            batch_stats=state.batch_stats,
+            frontend=frontend,
+        )
+        embeddings = np.asarray(embedder.embed(wavs), np.float32)
+        labels = np.asarray(labels)
+    else:
+        from titanet_tpu.train.loop import infer as _infer
+
+        dataset = {"val": val_ds, "test": test_ds}.get(split)
+        if dataset is None or len(dataset) == 0:
+            raise ValueError(
+                f"split {split!r} is empty or disabled in the config"
+            )
+        indices = list(range(min(num_utterances, len(dataset))))
+        embeddings, speakers = _infer(
+            state, dataset, indices, model=model, frontend=frontend,
+            sample_rate=cfg.audio.sample_rate,
+            batch_size=cfg.validation.batch_size,
+        )
+        labels = np.asarray(speakers)
+
+    if out_path:
+        np.savez(out_path, embeddings=embeddings, labels=labels)
+        print(f"[saved {len(embeddings)} embeddings -> {out_path}]")
+    if fig_path:
+        from titanet_tpu.utils.viz import visualize_embeddings
+
+        visualize_embeddings(
+            np.asarray(embeddings), np.asarray(labels),
+            reduction_method=cfg.figures.reduction_method, save=fig_path,
+        )
+        print(f"[saved projection figure -> {fig_path}]")
+    return embeddings, labels
+
+
 def main(argv: Optional[list] = None):
     # Multi-host: bring up the JAX distributed runtime BEFORE any device
     # use when the env contract is present (TITANET_COORDINATOR /
@@ -384,6 +485,21 @@ def main(argv: Optional[list] = None):
     p_eval.add_argument("-p", "--params", required=False, default=None)
     p_eval.add_argument("-c", "--checkpoint-dir", required=True)
     p_eval.add_argument("-e", "--epoch", type=int, default=None)
+    p_infer = sub.add_parser(
+        "infer", help="embed utterances/audio files with a checkpoint "
+        "(reference learn.infer)")
+    p_infer.add_argument("-p", "--params", required=False, default=None)
+    p_infer.add_argument("-c", "--checkpoint-dir", required=True)
+    p_infer.add_argument("-e", "--epoch", type=int, default=None)
+    p_infer.add_argument("--audio", nargs="*", default=None,
+                         help="wav/flac files (or directories) to embed; "
+                         "omit to embed dataset utterances")
+    p_infer.add_argument("--split", choices=("val", "test"), default="test")
+    p_infer.add_argument("-n", "--num-utterances", type=int, default=64)
+    p_infer.add_argument("-o", "--out", default=None,
+                         help="output .npz (embeddings + labels)")
+    p_infer.add_argument("--fig", default=None,
+                         help="save a 2-D projection scatter PNG")
     args = parser.parse_args(argv)
     if args.cmd == "train":
         cfg = load_config(args.params)
@@ -391,6 +507,25 @@ def main(argv: Optional[list] = None):
     elif args.cmd == "eval":
         cfg = load_config(args.params)
         evaluate_checkpoint(cfg, args.checkpoint_dir, args.epoch)
+    elif args.cmd == "infer":
+        cfg = load_config(args.params)
+        audio = None
+        if args.audio:
+            audio = []
+            for p in args.audio:
+                if os.path.isdir(p):
+                    for root, _, files in sorted(os.walk(p)):
+                        audio += [
+                            os.path.join(root, f) for f in sorted(files)
+                            if f.lower().endswith((".wav", ".flac"))
+                        ]
+                else:
+                    audio.append(p)
+        infer_checkpoint(
+            cfg, args.checkpoint_dir, args.epoch, audio_paths=audio,
+            split=args.split, num_utterances=args.num_utterances,
+            out_path=args.out, fig_path=args.fig,
+        )
 
 
 if __name__ == "__main__":

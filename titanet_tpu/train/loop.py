@@ -447,7 +447,9 @@ def infer(
             jnp.asarray(batch.waveform), jnp.asarray(batch.lengths),
             model=model, frontend=frontend,
         )
-        out.append(np.asarray(emb))
+        # f32 at the host boundary: bf16-model embeddings otherwise surface
+        # as ml_dtypes arrays that sklearn/matplotlib reject
+        out.append(np.asarray(emb, np.float32))
         speakers.extend(batch.speaker_ids.tolist())
     return np.concatenate(out), speakers
 
