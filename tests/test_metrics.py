@@ -140,3 +140,67 @@ def test_metrics_from_class_counts_matches_list_metrics():
     # non-finite flag latches
     acc = accumulate_metrics(acc, jnp.float32(np.nan), None, jnp.asarray([0]))
     assert bool(jax.device_get(acc).nonfinite)
+
+
+def test_snorm_scores_math():
+    """S-norm/AS-norm: hand-computed z-statistics on a tiny case."""
+    from titanet_tpu.train import snorm_scores
+
+    scores = np.array([[0.8, 0.2]])  # 1 enroll x 2 test
+    enroll_cohort = np.array([[0.0, 0.2, 0.4]])  # mu=0.2, sd=std([0,.2,.4])
+    test_cohort = np.array([[0.1, 0.3], [0.5, 0.5]])
+    sd_e = np.std([0.0, 0.2, 0.4])
+    out = snorm_scores(scores, enroll_cohort, test_cohort)
+    exp00 = 0.5 * ((0.8 - 0.2) / sd_e + (0.8 - 0.2) / np.std([0.1, 0.3]))
+    np.testing.assert_allclose(out[0, 0], exp00, rtol=1e-12)
+    # test side with zero-variance cohort: sd clamps to eps -> huge z;
+    # just assert finite and ordering preserved within the enroll row's
+    # z-term when the test term is shared
+    assert np.isfinite(out).all()
+
+    # top-K (AS-norm): with topk=2 the enroll stats use the 2 HIGHEST
+    # cohort scores {0.2, 0.4} -> mu=0.3, sd=0.1
+    out_topk = snorm_scores(scores, enroll_cohort, test_cohort, topk=2)
+    exp_topk00 = 0.5 * ((0.8 - 0.3) / 0.1 + (0.8 - 0.2) / np.std([0.1, 0.3]))
+    np.testing.assert_allclose(out_topk[0, 0], exp_topk00, rtol=1e-12)
+
+
+def test_snorm_removes_per_utterance_offset():
+    """The failure mode S-norm exists for: a constant per-utterance score
+    offset (channel effect) that raw cosine ranking cannot undo. Simulated
+    at the score level: raw EER degrades, S-normed EER recovers."""
+    from titanet_tpu.train import compute_eer, snorm_scores
+
+    rng = np.random.default_rng(0)
+    n, c = 40, 200
+    spk = np.repeat(np.arange(8), 5)
+    same = (spk[:, None] == spk[None, :]).astype(float)
+    # clean scores: same-speaker ~0.6, different ~0.1, small noise
+    clean = 0.1 + 0.5 * same + rng.normal(0, 0.05, (n, n))
+    # per-utterance additive offset on both sides (row+col), sd comparable
+    # to the margin -> heavy overlap in raw scores
+    offset = rng.normal(0, 0.25, n)
+    noisy = clean + offset[:, None] + offset[None, :]
+    labels = same.reshape(-1).astype(int)
+    raw_eer = compute_eer(noisy.reshape(-1), labels)
+    # cohort scores carry the same per-utterance offset
+    cohort = rng.normal(0.1, 0.05, (n, c)) + offset[:, None]
+    normed = snorm_scores(noisy, cohort, cohort)
+    snorm_eer = compute_eer(normed.reshape(-1), labels)
+    assert snorm_eer < raw_eer - 0.05, (raw_eer, snorm_eer)
+
+
+def test_all_pairs_with_cohort_runs():
+    from titanet_tpu.train import all_pairs_scores_labels
+
+    rng = np.random.default_rng(1)
+    emb = rng.standard_normal((12, 8))
+    spk = np.repeat(np.arange(3), 4)
+    cohort = rng.standard_normal((30, 8))
+    s_raw, l_raw = all_pairs_scores_labels(emb, spk)
+    s_norm, l_norm = all_pairs_scores_labels(
+        emb, spk, cohort_embeddings=cohort, cohort_topk=10
+    )
+    np.testing.assert_array_equal(l_raw, l_norm)
+    assert s_norm.shape == s_raw.shape
+    assert not np.allclose(s_norm, s_raw)

@@ -23,6 +23,7 @@ from titanet_tpu.data import (
     DataLoader,
     ReverbConfig,
     SpeedConfig,
+    Subset,
     get_datasets,
 )
 from titanet_tpu.losses.heads import build_head, head_param_count
@@ -101,6 +102,31 @@ def _synthetic_kwargs(cfg: Config) -> dict:
         pitch_jitter=cfg.dataset.synthetic_pitch_jitter,
         f0_range=(cfg.dataset.synthetic_f0_min, cfg.dataset.synthetic_f0_max),
     )
+
+
+def _cohort_loader(cfg: Config, train_ds):
+    """Cohort loader for test-time S-norm/AS-norm score calibration
+    (``test.score_norm``): a seeded sample of TRAIN-split utterances (train
+    speakers are disjoint from test speakers by the split protocol)."""
+    mode = cfg.test.score_norm
+    if mode in (None, "none"):
+        return None, None
+    if mode not in ("snorm", "asnorm"):
+        raise ValueError(
+            f"test.score_norm must be 'none', 'snorm' or 'asnorm', got {mode!r}"
+        )
+    import numpy as np
+
+    rng = np.random.default_rng(cfg.generic.seed)
+    n = min(cfg.test.cohort_size, len(train_ds))
+    indices = rng.choice(len(train_ds), size=n, replace=False).tolist()
+    loader = DataLoader(
+        Subset(train_ds, indices), batch_size=cfg.validation.batch_size,
+        shuffle=False, drop_last=False, chunk=ChunkConfig(enabled=False),
+        sample_rate=cfg.audio.sample_rate, seed=cfg.generic.seed,
+    )
+    topk = cfg.test.asnorm_topk if mode == "asnorm" else None
+    return loader, topk
 
 
 def train(cfg: Config) -> None:
@@ -187,6 +213,9 @@ def train(cfg: Config) -> None:
         drop_last=False, chunk=ChunkConfig(enabled=False),
         sample_rate=cfg.audio.sample_rate, seed=cfg.generic.seed,
     ) if cfg.test.enabled else None
+    cohort_loader, cohort_topk = (
+        _cohort_loader(cfg, train_ds) if cfg.test.enabled else (None, None)
+    )
 
     model = build_model(cfg, dtype=dtype)
     head = build_head_from_config(cfg, n_speakers)
@@ -283,6 +312,8 @@ def train(cfg: Config) -> None:
         jsonl=jsonl,
         wandb=wandb,
         batch_sharding=sharding,
+        cohort_loader=cohort_loader,
+        cohort_topk=cohort_topk,
         mindcf_p_target=cfg.test.mindcf_p_target,
         mindcf_c_fa=cfg.test.mindcf_c_fa,
         mindcf_c_miss=cfg.test.mindcf_c_miss,
@@ -337,7 +368,7 @@ def evaluate_checkpoint(cfg: Config, checkpoint_dir: str, epoch: Optional[int] =
     which could only evaluate inside a live training run)."""
     from titanet_tpu.train import checkpoint as ckpt
 
-    _, val_ds, test_ds, n_speakers = get_datasets(
+    train_ds, val_ds, test_ds, n_speakers = get_datasets(
         cfg.dataset.root,
         name=cfg.dataset.name,
         val=cfg.validation.enabled,
@@ -361,11 +392,13 @@ def evaluate_checkpoint(cfg: Config, checkpoint_dir: str, epoch: Optional[int] =
     )
     from titanet_tpu.train import ema_eval_state
 
+    cohort_loader, cohort_topk = _cohort_loader(cfg, train_ds)
     metrics = run_verification(
         ema_eval_state(state), loader, model=model, frontend=frontend,
         mindcf_p_target=cfg.test.mindcf_p_target,
         mindcf_c_fa=cfg.test.mindcf_c_fa, mindcf_c_miss=cfg.test.mindcf_c_miss,
         console=ConsoleLogger(enabled=True),
+        cohort_loader=cohort_loader, cohort_topk=cohort_topk,
     )
     print(metrics)
     return metrics

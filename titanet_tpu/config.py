@@ -144,6 +144,14 @@ class TestConfig:
     mindcf_c_miss: float = 1.0
     num_speakers: int = 10
     num_utterances_per_speaker: int = 10
+    # Verification score normalization (beyond the reference): "none",
+    # "snorm" (symmetric S-norm over the full cohort), or "asnorm"
+    # (adaptive: per-embedding top-K cohort statistics). The cohort is
+    # `cohort_size` utterances sampled from the TRAIN split (disjoint
+    # from test speakers by the split protocol).
+    score_norm: str = "none"
+    cohort_size: int = 256
+    asnorm_topk: int = 100
 
 
 @_register

@@ -5,9 +5,11 @@ from titanet_tpu.train.metrics import (  # noqa: F401
     compute_eer,
     compute_mindcf,
     cosine_scores,
+    cross_cosine_scores,
     get_test_metrics,
     get_train_val_metrics,
     metrics_from_class_counts,
+    snorm_scores,
 )
 from titanet_tpu.train.state import (  # noqa: F401
     MetricsAcc,

@@ -234,6 +234,28 @@ def evaluate(
     return metrics, (embeddings, all_targets)
 
 
+def _embed_whole_utterances(state, loader, *, model, frontend):
+    """Embed every utterance of a non-chunking loader (masked pooling, so a
+    padded batched embedding equals the utterance's solo embedding — the
+    reference scores SOLO batch-1 embeddings, src/learn.py:437)."""
+    if loader.chunk.enabled:
+        raise ValueError(
+            "whole-utterance embedding requires a non-chunking loader; "
+            "build it with chunk disabled"
+        )
+    embeddings, speakers = [], []
+    loader.set_epoch(0)
+    for (wav, lengths, spk_dev), batch in _staged_batches(loader):
+        del spk_dev
+        emb = embed_step(
+            state.params["backbone"], state.batch_stats, wav, lengths,
+            model=model, frontend=frontend, masked=True,
+        )
+        embeddings.append(np.asarray(emb))
+        speakers.extend(batch.speaker_ids.tolist())
+    return np.concatenate(embeddings), speakers
+
+
 def run_verification(
     state: TrainState,
     loader: DataLoader,
@@ -244,31 +266,31 @@ def run_verification(
     mindcf_c_fa: float = 1.0,
     mindcf_c_miss: float = 1.0,
     console: Optional[ConsoleLogger] = None,
+    cohort_loader: Optional[DataLoader] = None,
+    cohort_topk: Optional[int] = None,
 ):
-    """Batched all-pairs verification (reference test, src/learn.py:409-459)."""
-    embeddings, speakers = [], []
+    """Batched all-pairs verification (reference test, src/learn.py:409-459).
+
+    ``cohort_loader`` (utterances from the TRAIN split) enables S-norm /
+    AS-norm score calibration — no reference counterpart; see
+    :func:`titanet_tpu.train.metrics.snorm_scores`. ``cohort_topk`` selects
+    the adaptive (AS-norm) variant.
+    """
     # The verification protocol scores WHOLE utterances (reference embeds
     # each pair member un-cropped, src/learn.py:437); a chunking loader here
     # would silently score random crops, so refuse it outright.
-    if loader.chunk.enabled:
-        raise ValueError(
-            "run_verification requires a non-chunking loader (whole-utterance "
-            "embeddings); build the test loader with chunk disabled"
+    embeddings, speakers = _embed_whole_utterances(
+        state, loader, model=model, frontend=frontend
+    )
+    cohort_embeddings = None
+    if cohort_loader is not None:
+        cohort_embeddings, _ = _embed_whole_utterances(
+            state, cohort_loader, model=model, frontend=frontend
         )
-    loader.set_epoch(0)
-    for (wav, lengths, spk_dev), batch in _staged_batches(loader):
-        del spk_dev
-        # masked=True: the reference scores SOLO (batch-1) embeddings
-        # (src/learn.py:437); masked pooling makes a padded batched
-        # embedding equal the utterance's solo embedding.
-        emb = embed_step(
-            state.params["backbone"], state.batch_stats, wav, lengths,
-            model=model, frontend=frontend, masked=True,
-        )
-        embeddings.append(np.asarray(emb))
-        speakers.extend(batch.speaker_ids.tolist())
-    embeddings = np.concatenate(embeddings)
-    scores, labels = all_pairs_scores_labels(embeddings, speakers)
+    scores, labels = all_pairs_scores_labels(
+        embeddings, speakers,
+        cohort_embeddings=cohort_embeddings, cohort_topk=cohort_topk,
+    )
     metrics = get_test_metrics(
         scores, labels,
         mindcf_p_target=mindcf_p_target, mindcf_c_fa=mindcf_c_fa,
@@ -306,6 +328,8 @@ def training_loop(
     jsonl: Optional[JsonlLogger] = None,
     wandb: Optional[WandbLogger] = None,
     batch_sharding=None,
+    cohort_loader: Optional[DataLoader] = None,  # train-split utterances
+    cohort_topk: Optional[int] = None,           # for AS-norm test scoring
     mindcf_p_target: float = 0.01,
     mindcf_c_fa: float = 1.0,
     mindcf_c_miss: float = 1.0,
@@ -413,6 +437,7 @@ def training_loop(
             ema_eval_state(state), test_loader, model=model, frontend=frontend,
             mindcf_p_target=mindcf_p_target, mindcf_c_fa=mindcf_c_fa,
             mindcf_c_miss=mindcf_c_miss, console=console,
+            cohort_loader=cohort_loader, cohort_topk=cohort_topk,
         )
         jsonl.log(test_metrics, step=epochs)
         import json as _json

@@ -28,16 +28,80 @@ def cosine_scores(embeddings: np.ndarray) -> np.ndarray:
     return x @ x.T
 
 
+def cross_cosine_scores(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Cosine similarity ``[N, M]`` between two embedding sets."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    a = a / np.maximum(np.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
+    b = b / np.maximum(np.linalg.norm(b, axis=-1, keepdims=True), 1e-12)
+    return a @ b.T
+
+
+def snorm_scores(
+    scores: np.ndarray,
+    enroll_cohort: np.ndarray,
+    test_cohort: np.ndarray,
+    topk: Optional[int] = None,
+    eps: float = 1e-12,
+) -> np.ndarray:
+    """Symmetric score normalization — S-norm, or AS-norm with ``topk``.
+
+    No reference counterpart (the reference scores raw cosines,
+    src/learn.py:437-439); this is the standard production calibration for
+    open-set verification: each trial score is z-normalized against the
+    score distribution of BOTH sides vs an impostor cohort, which removes
+    per-utterance score offsets (channel/duration effects).
+
+    Args:
+      scores: raw trial scores ``[N, M]`` (enroll x test).
+      enroll_cohort: scores of each enroll embedding vs the cohort ``[N, C]``.
+      test_cohort: scores of each test embedding vs the cohort ``[M, C]``.
+      topk: AS-norm (adaptive): per embedding, use only its ``topk``
+        highest cohort scores for the mean/std (the cohort members closest
+        to that embedding). ``None`` uses the full cohort (plain S-norm).
+
+    Returns ``0.5 * ((s - mu_e)/sd_e + (s - mu_t)/sd_t)``, shape ``[N, M]``.
+    """
+    scores = np.asarray(scores, np.float64)
+    enroll_cohort = np.asarray(enroll_cohort, np.float64)
+    test_cohort = np.asarray(test_cohort, np.float64)
+
+    def _stats(cohort: np.ndarray):
+        if topk is not None and topk < cohort.shape[1]:
+            # top-K highest scores per row (order within K irrelevant)
+            part = np.partition(cohort, cohort.shape[1] - topk, axis=1)
+            cohort = part[:, cohort.shape[1] - topk:]
+        mu = cohort.mean(axis=1)
+        sd = cohort.std(axis=1)
+        return mu, np.maximum(sd, eps)
+
+    mu_e, sd_e = _stats(enroll_cohort)
+    mu_t, sd_t = _stats(test_cohort)
+    z_e = (scores - mu_e[:, None]) / sd_e[:, None]
+    z_t = (scores - mu_t[None, :]) / sd_t[None, :]
+    return 0.5 * (z_e + z_t)
+
+
 def all_pairs_scores_labels(
-    embeddings: np.ndarray, speakers: Sequence
+    embeddings: np.ndarray,
+    speakers: Sequence,
+    cohort_embeddings: Optional[np.ndarray] = None,
+    cohort_topk: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Scores/labels over the full Cartesian product of utterances,
     including self-pairs and both orderings — the exact pair protocol of the
-    reference ``get_sample_pairs`` (src/datasets.py:165-183)."""
-    scores = cosine_scores(embeddings).reshape(-1)
+    reference ``get_sample_pairs`` (src/datasets.py:165-183).
+
+    ``cohort_embeddings`` enables S-norm/AS-norm score calibration
+    (:func:`snorm_scores`); ``cohort_topk`` selects the adaptive variant.
+    """
+    scores = cosine_scores(embeddings)
+    if cohort_embeddings is not None:
+        cohort = cross_cosine_scores(embeddings, cohort_embeddings)
+        scores = snorm_scores(scores, cohort, cohort, topk=cohort_topk)
     spk = np.asarray(speakers)
     labels = (spk[:, None] == spk[None, :]).reshape(-1).astype(np.int64)
-    return scores, labels
+    return scores.reshape(-1), labels
 
 
 def roc_curve(scores: np.ndarray, labels: np.ndarray):
