@@ -111,6 +111,14 @@ RUNS = [
     # provides the third band member.
     ("bench11_sphere_seed44", {"training.loss": "sphere", "generic.seed": 44}),
     ("bench11_sphere_seed45", {"training.loss": "sphere", "generic.seed": 45}),
+    # second model family (beyond the reference): ECAPA-TDNN C=512, same
+    # CE protocol as bench2 so the bands compare directly
+    ("bench13_ecapa_seed42",
+     {"training.loss": "ce", "generic.seed": 42, "ecapa.enabled": True}),
+    ("bench13_ecapa_seed43",
+     {"training.loss": "ce", "generic.seed": 43, "ecapa.enabled": True}),
+    ("bench13_ecapa_seed44",
+     {"training.loss": "ce", "generic.seed": 44, "ecapa.enabled": True}),
 ]
 
 
@@ -239,9 +247,14 @@ def main():
             eer_cell, dcf_cell = "diverged (non-finite loss)", "—"
         else:
             eer_cell, dcf_cell = f"{r['eer']:.3f}", f"{r['mindcf']:.3f}"
+        model_cell = r.get("titanet.model_size", "s")
+        if r.get("ecapa.enabled"):
+            model_cell = "ecapa"
+        elif r.get("baseline.enabled"):
+            model_cell = "dvector"
         lines.append(
             f"| {r['run']} | {r['training.loss']} | "
-            f"{r.get('titanet.model_size', 's')} | {r['generic.seed']} | "
+            f"{model_cell} | {r['generic.seed']} | "
             f"{eer_cell} | {dcf_cell} |"
         )
     lines.append("")
@@ -256,6 +269,7 @@ def main():
         "bench10": "CosFace (TitaNet-S)",
         "bench11": "SphereFace (TitaNet-S)",
         "bench12": "CE + weight EMA 0.99 (TitaNet-S)",
+        "bench13": "CE (ECAPA-TDNN C=512)",
     }
     for prefix, label in names.items():
         be, bd = band(prefix, "eer"), band(prefix, "mindcf")

@@ -47,7 +47,9 @@ from titanet_tpu.utils import chart_dependencies as _chart_deps
 
 
 def build_model(cfg: Config, dtype=None):
-    """Model selection with reference precedence (src/train.py:87-121)."""
+    """Model selection with reference precedence (src/train.py:87-121);
+    ``ecapa.enabled`` (a family beyond the reference) slots in before the
+    TitaNet default."""
     if cfg.dumb.enabled:
         return DumbConvNet(
             hidden_size=cfg.dumb.hidden_size,
@@ -62,6 +64,15 @@ def build_model(cfg: Config, dtype=None):
             lstm_average=cfg.baseline.average,
             embedding_size=cfg.generic.embedding_size,
             segment_length=cfg.baseline.segment_length,
+            dtype=dtype,
+        )
+    if cfg.ecapa.enabled:
+        from titanet_tpu.models import get_ecapa
+
+        return get_ecapa(
+            channels=cfg.ecapa.channels,
+            embedding_size=cfg.generic.embedding_size,
+            attention_hidden_size=cfg.ecapa.attention_hidden_size,
             dtype=dtype,
         )
     return get_titanet(

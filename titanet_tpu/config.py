@@ -218,6 +218,16 @@ class BaselineConfig:
 
 @_register
 @dataclass
+class EcapaConfig:
+    # ECAPA-TDNN (arXiv:2005.07143) — second model family beyond the
+    # reference. channels 512 -> ~6.2M params, 1024 -> ~14.7M.
+    enabled: bool = False
+    channels: int = 512
+    attention_hidden_size: int = 128
+
+
+@_register
+@dataclass
 class WandbConfig:
     enabled: bool = False
     entity: str = ""
@@ -336,6 +346,7 @@ class Config:
     dumb: "DumbConfig" = field(default_factory=DumbConfig)
     titanet: "TitanetConfig" = field(default_factory=TitanetConfig)
     baseline: "BaselineConfig" = field(default_factory=BaselineConfig)
+    ecapa: "EcapaConfig" = field(default_factory=EcapaConfig)
     wandb: "WandbConfig" = field(default_factory=WandbConfig)
     generic: "GenericConfig" = field(default_factory=GenericConfig)
     audio: "AudioConfig" = field(default_factory=AudioConfig)

@@ -1,10 +1,15 @@
-"""Model zoo: TitaNet S/M/L, d-vector LSTM baseline, smoke-test convnet."""
+"""Model zoo: TitaNet S/M/L, ECAPA-TDNN, d-vector LSTM baseline,
+smoke-test convnet."""
 
 import jax.numpy as jnp
 
 from titanet_tpu.models.baselines import (  # noqa: F401
     DumbConvNet,
     DVectorBaseline,
+)
+from titanet_tpu.models.ecapa import (  # noqa: F401
+    EcapaTdnn,
+    get_ecapa,
 )
 from titanet_tpu.models.quantized import (  # noqa: F401
     QuantTitaNet,
