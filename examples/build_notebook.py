@@ -25,7 +25,8 @@ swap in `LibriSpeechDataset("./data")` wherever noted for the real thing.
 
 Sections: 1. EDA · 2. Frontend · 3. Augmentations · 4. Models · 5. Losses ·
 6. Training · 7. Discriminative EER benchmark · 8. Pretrained checkpoints ·
-9. Embeddings + verification · 10. Multi-chip"""),
+9. Embeddings + verification · 10. Multi-chip · 11. Fast serving ·
+12. ECAPA-TDNN · 13. Score normalization"""),
     ("code", """\
 import os, sys
 sys.path.insert(0, os.path.abspath(os.path.join(os.getcwd(), "..")))
@@ -520,6 +521,48 @@ emb_int8 = jax.jit(titanet_apply_quantized)(qtree, mel_batch)
 emb_f32 = jax.jit(lambda v, x: model.apply(v, x, train=False))(trained, mel_batch)
 cos = (l2_normalize(emb_int8) * l2_normalize(emb_f32)).sum(-1)
 print("int8 vs f32 embedding cosine (min):", float(np.asarray(cos).min()))"""),
+
+    # ----------------------------------------- second model family: ECAPA
+    ("md", """\
+## 12. Second model family: ECAPA-TDNN
+
+Beyond the reference's zoo: `titanet_tpu.models.ecapa` (arXiv:2005.07143)
+— SE-Res2Blocks, multi-layer feature aggregation, channel-context
+attentive pooling — built from the same op set, so every step/loop/CLI
+path drives it unchanged (`ecapa: {enabled: true}` in YAML). C=512 is
+6.2M params and trains ~1.3x FASTER than TitaNet-S on TPU
+(BENCHMARKS.md); its hard-corpus EER band is bench13 in
+docs/eer_bench/RESULTS.md."""),
+    ("code", """\
+from titanet_tpu.models import get_ecapa
+
+ecapa = get_ecapa(channels=128 if FAST else 256)
+e_state = create_train_state(jax.random.key(3), ecapa, head, opt,
+                             jnp.zeros((2, 151, 80)), n_speakers)
+e_state, e_metrics, _ = train_one_epoch(
+    1, 1, e_state, loader, model=ecapa, head=head, optimizer=opt,
+    frontend=cfg, augment=AugmentConfig(probability=0.5), renorm_head=True)
+print("ecapa epoch-1:", {k: round(v, 3) for k, v in e_metrics.items()
+                         if k in ("train/avg_loss", "train/accuracy")})"""),
+
+    # ------------------------------------------------- score normalization
+    ("md", """\
+## 13. Score normalization (S-norm / AS-norm)
+
+Production verification calibrates trial scores against an impostor
+cohort (z-normalizing both sides) — it removes per-utterance offsets
+(channel/duration effects) that raw cosine scoring can't. Enable with
+`test: {score_norm: asnorm}`; measured EER deltas on the hard corpus are
+in docs/eer_bench/SNORM.md."""),
+    ("code", """\
+from titanet_tpu.train.metrics import cross_cosine_scores, snorm_scores
+
+cohort_vectors = emb.embed([ds[i]["waveform"][0] for i in range(30)])
+sq = scores.reshape(len(speakers), len(speakers))
+cohort_scores = cross_cosine_scores(vectors, cohort_vectors)
+asnorm = snorm_scores(sq, cohort_scores, cohort_scores, topk=20).reshape(-1)
+print("raw   :", get_test_metrics(scores, labels))
+print("asnorm:", get_test_metrics(asnorm, labels))"""),
 ]
 
 
