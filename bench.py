@@ -10,6 +10,7 @@ Target (BASELINE.json): >= 10x the CPU reference with < 1e-3 cosine drift.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -34,9 +35,15 @@ def bench_tpu(mel: np.ndarray) -> float:
     import os
 
     dtype = jnp.bfloat16 if DTYPE == "bfloat16" else None
-    # TITANET_BENCH_SCAN=1 measures the scan_blocks encoder layout
-    model = get_titanet(model_size="s", n_mega_blocks=17, dtype=dtype,
-                        scan_blocks=os.environ.get("TITANET_BENCH_SCAN", "") == "1")
+    # TITANET_BENCH_SCAN=1 measures the scan_blocks encoder layout;
+    # TITANET_BENCH_MODEL=ecapa measures the ECAPA-TDNN family (C=512)
+    if os.environ.get("TITANET_BENCH_MODEL", "") == "ecapa":
+        from titanet_tpu.models import get_ecapa
+
+        model = get_ecapa(channels=512, dtype=dtype)
+    else:
+        model = get_titanet(model_size="s", n_mega_blocks=17, dtype=dtype,
+                            scan_blocks=os.environ.get("TITANET_BENCH_SCAN", "") == "1")
     x = jnp.asarray(mel, jnp.bfloat16 if dtype else jnp.float32)
     variables = jax.jit(model.init)(jax.random.key(0), x[:1])
 
@@ -132,7 +139,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "TitaNet-S mel->embedding throughput",
+                "metric": ("ECAPA-512" if os.environ.get("TITANET_BENCH_MODEL", "") == "ecapa" else "TitaNet-S") + " mel->embedding throughput",
                 "value": round(tpu, 1),
                 "unit": "utt/s/chip",
                 "vs_baseline": round(vs, 1) if vs is not None else None,

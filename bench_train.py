@@ -18,6 +18,7 @@ synchronizes, and RTT amortizes over the chain.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -53,10 +54,16 @@ def bench_tpu(wav: np.ndarray, speakers: np.ndarray) -> float:
         precision=os.environ.get("TITANET_BENCH_FRONTEND", "highest")
     )
     dtype = jnp.bfloat16 if DTYPE == "bfloat16" else None
-    # TITANET_BENCH_SCAN=1 measures the scan_blocks encoder layout
+    # TITANET_BENCH_SCAN=1 measures the scan_blocks encoder layout;
+    # TITANET_BENCH_MODEL=ecapa measures the ECAPA-TDNN family (C=512)
     scan = os.environ.get("TITANET_BENCH_SCAN", "") == "1"
-    model = get_titanet(model_size="s", n_mega_blocks=17, dtype=dtype,
-                        scan_blocks=scan)
+    if os.environ.get("TITANET_BENCH_MODEL", "") == "ecapa":
+        from titanet_tpu.models import get_ecapa
+
+        model = get_ecapa(channels=512, dtype=dtype)
+    else:
+        model = get_titanet(model_size="s", n_mega_blocks=17, dtype=dtype,
+                            scan_blocks=scan)
     head = build_head("ce", 192, N_CLASSES)
     opt = make_optimizer(start_lr=1e-3)
     state = create_train_state(
@@ -145,7 +152,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "TitaNet-S train step throughput (wav->grads->update)",
+                "metric": ("ECAPA-512" if os.environ.get("TITANET_BENCH_MODEL", "") == "ecapa" else "TitaNet-S") + " train step throughput (wav->grads->update)",
                 "value": round(tpu, 1),
                 "unit": "utt/s/chip",
                 "vs_baseline": round(vs, 1) if vs is not None else None,
