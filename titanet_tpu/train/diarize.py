@@ -1,0 +1,237 @@
+"""Speaker diarization on top of the embedding stack.
+
+No reference counterpart (Wadaboa/titanet stops at verification); this is
+the standard production companion of a speaker-embedding model (cf. NeMo's
+TitaNet-based diarizer): slide a window over the audio, embed every window
+(batched, bucketed — :class:`titanet_tpu.train.extractor.SpeakerEmbedder`),
+cluster the windows spectrally with an eigengap speaker-count estimate, and
+merge adjacent same-speaker windows into segments.
+
+Pure numpy/scipy host-side math around the TPU embedding batch — the
+clustering problem is tiny (hundreds of windows) next to the embedding
+compute, so it stays off-device by design.
+
+Includes a frame-based Diarization Error Rate (optimal label mapping via
+the Hungarian algorithm) so the pipeline is testable end-to-end.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclass
+class Segment:
+    start: float  # seconds
+    end: float
+    speaker: int
+
+    def __iter__(self):  # tuple-compat: start, end, speaker = seg
+        yield self.start
+        yield self.end
+        yield self.speaker
+
+
+def cosine_affinity(embeddings: np.ndarray) -> np.ndarray:
+    """Pairwise cosine similarity mapped to [0, 1] (``(cos + 1) / 2``)."""
+    x = np.asarray(embeddings, np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+    return (x @ x.T + 1.0) / 2.0
+
+
+def _kmeans(x: np.ndarray, k: int, seed: int = 0, iters: int = 100,
+            n_init: int = 10) -> np.ndarray:
+    """Seeded Lloyd k-means (numpy; k and N are tiny here)."""
+    rng = np.random.default_rng(seed)
+    best_labels, best_cost = None, np.inf
+    for _ in range(n_init):
+        centers = x[rng.choice(len(x), size=k, replace=False)]
+        labels = np.zeros(len(x), np.int64)
+        for _ in range(iters):
+            d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+            new_labels = d.argmin(1)
+            if (new_labels == labels).all():
+                break
+            labels = new_labels
+            for j in range(k):
+                pts = x[labels == j]
+                if len(pts):
+                    centers[j] = pts.mean(0)
+        cost = ((x - centers[labels]) ** 2).sum()
+        if cost < best_cost:
+            best_cost, best_labels = cost, labels.copy()
+    return best_labels
+
+
+def refine_affinity(a: np.ndarray, p_percentile: float = 92.0) -> np.ndarray:
+    """Row-wise percentile sharpening (Wang et al., arXiv:1710.10468 §V):
+    keep each row's strongest affinities, damp the rest 100x, then
+    symmetrize. A dense cosine graph connects ALL windows (cross-speaker
+    cosine affinity sits near 0.5, not 0), which hides the block structure
+    from the Laplacian spectrum — the eigengap then always says k=1."""
+    thresh = np.percentile(a, p_percentile, axis=1, keepdims=True)
+    refined = np.where(a >= thresh, a, a * 0.01)
+    return (refined + refined.T) / 2.0
+
+
+def nme_estimate(
+    a: np.ndarray, max_speakers: int = 8
+) -> Tuple[int, np.ndarray]:
+    """NME-SC speaker-count + graph-sparsity estimation (Park et al.,
+    arXiv:1909.01008, the auto-tuning used by production diarizers):
+
+    For each row-sparsity p (top-p binarized affinity, symmetrized), take
+    the unnormalized-Laplacian eigengap g_p = max_k (lambda_{k+1} -
+    lambda_k) normalized by lambda_max, and pick the p minimizing the NME
+    ratio r(p) = (p/n) / g_p — the sparsest graph with the cleanest block
+    structure. Returns (k, binarized_affinity_at_p*).
+
+    Fixed-percentile sharpening (:func:`refine_affinity`) needs its one
+    free parameter tuned per corpus — too sparse fragments speakers, too
+    dense percolates everything into k=1 (both observed); NME makes that
+    choice from the data itself.
+    """
+    n = len(a)
+    best = None
+    for p in range(2, max(3, n // 2 + 1)):
+        idx = np.argsort(-a, axis=1)[:, :p]
+        b = np.zeros_like(a)
+        b[np.arange(n)[:, None], idx] = 1.0
+        b = np.maximum(b, b.T)
+        lam = np.linalg.eigvalsh(np.diag(b.sum(1)) - b)
+        lam = np.maximum(lam, 0.0)
+        kmax = min(max_speakers, n - 1)
+        gaps = lam[1:kmax + 1] - lam[:kmax]
+        k = int(np.argmax(gaps)) + 1
+        g = gaps[k - 1] / max(lam[-1], 1e-12)
+        r = (p / n) / max(g, 1e-12)
+        if best is None or r < best[0]:
+            best = (r, k, b)
+    return best[1], best[2]
+
+
+def spectral_cluster(
+    embeddings: np.ndarray,
+    n_speakers: Optional[int] = None,
+    max_speakers: int = 8,
+    seed: int = 0,
+    p_percentile: float = 92.0,
+) -> np.ndarray:
+    """Spectral clustering with NME-SC speaker-count estimation.
+
+    Normalized-Laplacian recipe (Von Luxburg tutorial): with ``n_speakers``
+    given, sharpen the cosine affinity at ``p_percentile``
+    (:func:`refine_affinity`); with ``n_speakers=None``, estimate both the
+    count and the graph sparsity via :func:`nme_estimate`. Cluster the
+    row-normalized first-k eigenvectors of ``D^-1/2 (D - A) D^-1/2`` with
+    k-means.
+    """
+    a = cosine_affinity(embeddings)
+    n = len(a)
+    if n == 1:
+        return np.zeros(1, np.int64)
+    if n_speakers is None:
+        n_speakers, a = nme_estimate(a, max_speakers=max_speakers)
+    else:
+        # keep at least 2 neighbors per row under the percentile cut
+        a = refine_affinity(a, min(p_percentile, 100.0 * (1.0 - 2.0 / n)))
+    if n_speakers <= 1:
+        return np.zeros(n, np.int64)
+    d = a.sum(1)
+    inv_sqrt = 1.0 / np.sqrt(np.maximum(d, 1e-12))
+    lap = np.eye(n) - (a * inv_sqrt[:, None]) * inv_sqrt[None, :]
+    _, eigvecs = np.linalg.eigh(lap)
+    emb = eigvecs[:, :n_speakers]
+    emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    return _kmeans(emb, n_speakers, seed=seed)
+
+
+def merge_windows(
+    labels: Sequence[int], starts: Sequence[float], ends: Sequence[float]
+) -> List[Segment]:
+    """Merge consecutive same-speaker windows into segments; overlapping
+    window boundaries split at the midpoint between window starts."""
+    segments: List[Segment] = []
+    for i, lab in enumerate(labels):
+        start = starts[i] if i == 0 else (starts[i] + ends[i - 1]) / 2
+        end = ends[i] if i == len(labels) - 1 else (ends[i] + starts[i + 1]) / 2
+        start, end = max(start, starts[i]), min(end, ends[i] + (ends[i] - starts[i]))
+        if segments and segments[-1].speaker == int(lab):
+            segments[-1].end = end
+        else:
+            segments.append(Segment(start, end, int(lab)))
+    return segments
+
+
+def diarize(
+    waveform: np.ndarray,
+    sample_rate: int,
+    embedder,
+    window_s: float = 1.5,
+    hop_s: float = 0.75,
+    n_speakers: Optional[int] = None,
+    max_speakers: int = 8,
+    seed: int = 0,
+) -> List[Segment]:
+    """Full pipeline: window -> batched embed -> spectral cluster -> merge.
+
+    ``embedder`` is a :class:`SpeakerEmbedder` (or anything with
+    ``embed(list_of_waveforms) -> [N, E]``).
+    """
+    wav = np.asarray(waveform, np.float32).reshape(-1)
+    win = int(window_s * sample_rate)
+    hop = max(1, int(hop_s * sample_rate))
+    if len(wav) <= win:
+        starts = [0]
+    else:
+        starts = list(range(0, len(wav) - win + 1, hop))
+        if starts[-1] + win < len(wav):
+            starts.append(len(wav) - win)
+    windows = [wav[s:s + win] for s in starts]
+    emb = np.asarray(embedder.embed(windows))
+    labels = spectral_cluster(
+        emb, n_speakers=n_speakers, max_speakers=max_speakers, seed=seed
+    )
+    t0 = [s / sample_rate for s in starts]
+    t1 = [min((s + win), len(wav)) / sample_rate for s in starts]
+    return merge_windows(labels, t0, t1)
+
+
+def diarization_error_rate(
+    reference: Sequence[Tuple[float, float, int]],
+    hypothesis: Sequence[Tuple[float, float, int]],
+    frame_s: float = 0.01,
+) -> float:
+    """Frame-based DER with optimal speaker mapping (Hungarian assignment).
+
+    Both inputs are ``(start_s, end_s, speaker)`` triples (``Segment``
+    iterates as one). Single-speaker-per-frame model (no overlap support —
+    matching this diarizer's output space).
+    """
+    from scipy.optimize import linear_sum_assignment
+
+    end = max([e for _, e, _ in reference] + [e for _, e, _ in hypothesis])
+    n = int(np.ceil(end / frame_s))
+    ref = np.full(n, -1, np.int64)
+    hyp = np.full(n, -1, np.int64)
+    for s, e, spk in reference:
+        ref[int(s / frame_s):int(e / frame_s)] = spk
+    for s, e, spk in hypothesis:
+        hyp[int(s / frame_s):int(e / frame_s)] = spk
+    both = (ref >= 0) & (hyp >= 0)
+    ref_ids = np.unique(ref[ref >= 0])
+    hyp_ids = np.unique(hyp[hyp >= 0])
+    overlap = np.zeros((len(ref_ids), len(hyp_ids)))
+    for i, r in enumerate(ref_ids):
+        for j, h in enumerate(hyp_ids):
+            overlap[i, j] = np.sum(both & (ref == r) & (hyp == h))
+    ri, hj = linear_sum_assignment(-overlap)
+    correct = overlap[ri, hj].sum()
+    scored = np.sum(ref >= 0)  # reference speech frames
+    miss = np.sum((ref >= 0) & (hyp < 0))
+    fa = np.sum((ref < 0) & (hyp >= 0))
+    confusion = np.sum(both) - correct
+    return float((miss + fa + confusion) / max(scored, 1))
