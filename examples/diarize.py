@@ -36,6 +36,8 @@ def main(argv=None):
     ap.add_argument("--hop", type=float, default=0.75)
     ap.add_argument("--known-k", action="store_true",
                     help="pass the true speaker count instead of eigengap")
+    ap.add_argument("--vad", action="store_true",
+                    help="place windows only inside energy-VAD speech regions")
     args = ap.parse_args(argv)
 
     import yaml
@@ -103,7 +105,7 @@ def main(argv=None):
     segments = diarize(
         audio, sr, embedder, window_s=args.window, hop_s=args.hop,
         n_speakers=args.speakers if args.known_k else None,
-        max_speakers=max(8, args.speakers),
+        max_speakers=max(8, args.speakers), vad=args.vad,
     )
     der = diarization_error_rate(reference, segments)
     n_found = len({s.speaker for s in segments})

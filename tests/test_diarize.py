@@ -140,3 +140,41 @@ def test_diarize_with_real_embedder_smoke():
     assert abs(segs[-1].end - 4.0) < 1e-6
     assert all(0 <= s.speaker < 3 for s in segs)
     assert all(isinstance(s, Segment) for s in segs)
+
+
+def test_energy_vad_regions():
+    from titanet_tpu.train.diarize import energy_vad
+
+    sr = 8000
+    tone = np.sin(2 * np.pi * 300 * np.arange(sr) / sr)
+    silence = np.zeros(sr)
+    wav = np.concatenate([tone, silence, tone]).astype(np.float32)
+    regions = energy_vad(wav, sr)
+    assert len(regions) == 2
+    (a0, a1), (b0, b1) = regions
+    assert abs(a0 - 0.0) < 0.1 and abs(a1 - 1.0) < 0.1
+    assert abs(b0 - 2.0) < 0.1 and abs(b1 - 3.0) < 0.1
+    # a 0.1 s gap is bridged by the 0.2 s hangover
+    wav2 = np.concatenate([tone, np.zeros(sr // 10), tone]).astype(np.float32)
+    assert len(energy_vad(wav2, sr)) == 1
+    # pure (near-)silence: relative threshold sees no structure -> either
+    # nothing or one low-energy region; absolute silence of zeros is all
+    # "peak" frames, so just assert no crash and list output
+    assert isinstance(energy_vad(np.zeros(100, np.float32), sr), list)
+
+
+def test_diarize_with_vad_skips_silence():
+    sr = 8000
+    t = np.arange(sr * 2) / sr
+    a = np.sin(2 * np.pi * 200 * t).astype(np.float32)
+    b = np.sin(2 * np.pi * 1500 * t).astype(np.float32)
+    silence = np.zeros(sr * 2, np.float32)
+    wav = np.concatenate([a, silence, b])
+    segs = diarize(wav, sr, _ToneEmbedder(), window_s=1.0, hop_s=0.5,
+                   n_speakers=2, vad=True)
+    # no segment may cover the silent middle (2 s .. 4 s)
+    for s in segs:
+        assert s.end <= 2.05 or s.start >= 3.95, (s.start, s.end)
+    spk_a = {s.speaker for s in segs if s.end <= 2.05}
+    spk_b = {s.speaker for s in segs if s.start >= 3.95}
+    assert spk_a and spk_b and spk_a.isdisjoint(spk_b)

@@ -166,6 +166,54 @@ def merge_windows(
     return segments
 
 
+def energy_vad(
+    waveform: np.ndarray,
+    sample_rate: int,
+    frame_s: float = 0.03,
+    threshold_db: float = -35.0,
+    hangover_s: float = 0.2,
+    min_speech_s: float = 0.2,
+) -> List[Tuple[float, float]]:
+    """Energy voice-activity detection: speech = frames whose RMS exceeds
+    ``threshold_db`` relative to the waveform's peak RMS frame, smoothed by
+    a ``hangover`` (short gaps bridged), regions under ``min_speech_s``
+    dropped. Returns ``[(start_s, end_s)]`` speech regions.
+
+    Deliberately simple (a trained VAD model is a different project) but
+    enough to keep silence/noise out of the diarizer's windows — silence
+    windows otherwise embed to an arbitrary cluster of their own.
+    """
+    wav = np.asarray(waveform, np.float32).reshape(-1)
+    frame = max(1, int(frame_s * sample_rate))
+    n = len(wav) // frame
+    if n == 0:
+        return [(0.0, len(wav) / sample_rate)] if len(wav) else []
+    rms = np.sqrt(
+        np.mean(wav[: n * frame].reshape(n, frame) ** 2, axis=1) + 1e-12
+    )
+    db = 20.0 * np.log10(rms / max(rms.max(), 1e-12))
+    speech = db > threshold_db
+    # hangover: bridge gaps shorter than hangover_s
+    gap = max(1, int(round(hangover_s / frame_s)))
+    idx = np.flatnonzero(speech)
+    if len(idx) == 0:
+        return []
+    regions = []
+    start = prev = idx[0]
+    for i in idx[1:]:
+        if i - prev > gap:
+            regions.append((start, prev + 1))
+            start = i
+        prev = i
+    regions.append((start, prev + 1))
+    out = []
+    for s, e in regions:
+        t0, t1 = s * frame_s, min(e * frame_s, len(wav) / sample_rate)
+        if t1 - t0 >= min_speech_s:
+            out.append((t0, t1))
+    return out
+
+
 def diarize(
     waveform: np.ndarray,
     sample_rate: int,
@@ -175,29 +223,57 @@ def diarize(
     n_speakers: Optional[int] = None,
     max_speakers: int = 8,
     seed: int = 0,
+    vad: bool = False,
 ) -> List[Segment]:
-    """Full pipeline: window -> batched embed -> spectral cluster -> merge.
+    """Full pipeline: [VAD ->] window -> batched embed -> spectral cluster
+    -> merge.
 
     ``embedder`` is a :class:`SpeakerEmbedder` (or anything with
-    ``embed(list_of_waveforms) -> [N, E]``).
+    ``embed(list_of_waveforms) -> [N, E]``). With ``vad=True``, windows are
+    placed only inside :func:`energy_vad` speech regions and the returned
+    segments never cover silence.
     """
     wav = np.asarray(waveform, np.float32).reshape(-1)
     win = int(window_s * sample_rate)
     hop = max(1, int(hop_s * sample_rate))
-    if len(wav) <= win:
-        starts = [0]
+
+    def _window_starts(lo: int, hi: int) -> List[int]:
+        if hi - lo <= win:
+            return [lo]
+        starts = list(range(lo, hi - win + 1, hop))
+        if starts[-1] + win < hi:
+            starts.append(hi - win)
+        return starts
+
+    if vad:
+        regions = energy_vad(wav, sample_rate)
+        if not regions:
+            return []
+        bounds = [
+            (int(t0 * sample_rate), int(t1 * sample_rate)) for t0, t1 in regions
+        ]
     else:
-        starts = list(range(0, len(wav) - win + 1, hop))
-        if starts[-1] + win < len(wav):
-            starts.append(len(wav) - win)
-    windows = [wav[s:s + win] for s in starts]
+        bounds = [(0, len(wav))]
+    starts, limits = [], []
+    for lo, hi in bounds:
+        for s in _window_starts(lo, hi):
+            starts.append(s)
+            limits.append(hi)
+    windows = [wav[s:min(s + win, hi)] for s, hi in zip(starts, limits)]
     emb = np.asarray(embedder.embed(windows))
     labels = spectral_cluster(
         emb, n_speakers=n_speakers, max_speakers=max_speakers, seed=seed
     )
-    t0 = [s / sample_rate for s in starts]
-    t1 = [min((s + win), len(wav)) / sample_rate for s in starts]
-    return merge_windows(labels, t0, t1)
+    # merge per speech region (no merging across silence)
+    segments: List[Segment] = []
+    for lo, hi in bounds:
+        js = [j for j in range(len(starts)) if lo <= starts[j] < hi]
+        if not js:
+            continue
+        t0 = [starts[j] / sample_rate for j in js]
+        t1 = [min(starts[j] + win, hi) / sample_rate for j in js]
+        segments.extend(merge_windows([labels[j] for j in js], t0, t1))
+    return segments
 
 
 def diarization_error_rate(
