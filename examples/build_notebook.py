@@ -26,7 +26,7 @@ swap in `LibriSpeechDataset("./data")` wherever noted for the real thing.
 Sections: 1. EDA · 2. Frontend · 3. Augmentations · 4. Models · 5. Losses ·
 6. Training · 7. Discriminative EER benchmark · 8. Pretrained checkpoints ·
 9. Embeddings + verification · 10. Multi-chip · 11. Fast serving ·
-12. ECAPA-TDNN · 13. Score normalization"""),
+12. ECAPA-TDNN · 13. Score normalization · 14. Diarization"""),
     ("code", """\
 import os, sys
 sys.path.insert(0, os.path.abspath(os.path.join(os.getcwd(), "..")))
@@ -563,6 +563,39 @@ cohort_scores = cross_cosine_scores(vectors, cohort_vectors)
 asnorm = snorm_scores(sq, cohort_scores, cohort_scores, topk=20).reshape(-1)
 print("raw   :", get_test_metrics(scores, labels))
 print("asnorm:", get_test_metrics(asnorm, labels))"""),
+
+    # --------------------------------------------------------- diarization
+    ("md", """\
+## 14. Speaker diarization (who spoke when)
+
+The production companion of a speaker-embedding model: sliding windows ->
+batched embeddings (`SpeakerEmbedder`) -> NME-SC spectral clustering
+(auto speaker count via the normalized-maximum-eigengap ratio,
+arXiv:1909.01008) -> merged segments, scored with frame-based DER
+(Hungarian label mapping). `examples/diarize.py` is the CLI version;
+`vad=True` adds energy voice-activity detection."""),
+    ("code", """\
+from titanet_tpu.train.diarize import diarization_error_rate, diarize
+
+# build a conversation: 2 utterances from each of 3 speakers, shuffled
+spk_ids = sorted(set(speakers))[:3]
+turns, reference, t_cursor = [], [], 0.0
+rng = np.random.default_rng(0)
+order = [(s, u) for u in range(2) for s in spk_ids]
+rng.shuffle(order)
+for s, u in order:
+    idx = [i for i in range(len(ds)) if ds[i]["speaker_id"] == s][u]
+    w = np.asarray(ds[idx]["waveform"], np.float32).reshape(-1)
+    turns.append(w)
+    reference.append((t_cursor, t_cursor + len(w) / 16000, s))
+    t_cursor += len(w) / 16000
+conversation = np.concatenate(turns)
+segments = diarize(conversation, 16000, emb, window_s=1.5, hop_s=0.75,
+                   max_speakers=6)
+for s in segments:
+    print(f"{s.start:6.2f}s - {s.end:6.2f}s  speaker {s.speaker}")
+print("found", len({s.speaker for s in segments}), "speakers (true: 3);",
+      "DER", round(diarization_error_rate(reference, segments), 3))"""),
 ]
 
 

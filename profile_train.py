@@ -45,10 +45,15 @@ def build_step(batch, seconds, n_classes, dtype, infer=False):
     frontend = FrontendConfig.from_ms()
     import os
 
-    model = get_titanet(
-        model_size="s", n_mega_blocks=17, dtype=jnp.dtype(dtype),
-        scan_blocks=os.environ.get("TITANET_BENCH_SCAN", "") == "1",
-    )
+    if os.environ.get("TITANET_BENCH_MODEL", "") == "ecapa":
+        from titanet_tpu.models import get_ecapa
+
+        model = get_ecapa(channels=512, dtype=jnp.dtype(dtype))
+    else:
+        model = get_titanet(
+            model_size="s", n_mega_blocks=17, dtype=jnp.dtype(dtype),
+            scan_blocks=os.environ.get("TITANET_BENCH_SCAN", "") == "1",
+        )
     head = build_head("ce", 192, n_classes)
     opt = make_optimizer(start_lr=1e-3)
     state = create_train_state(
