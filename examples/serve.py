@@ -37,7 +37,15 @@ def build_embedder(args):
         if args.fast_frontend
         else FrontendConfig.from_ms()
     )
-    model = get_titanet(model_size=args.model_size)
+    if args.model_size.startswith("ecapa"):
+        from titanet_tpu.models import get_ecapa
+
+        channels = int(args.model_size[len("ecapa"):] or 512)
+        model = get_ecapa(channels=channels)
+        if args.quantized:
+            raise SystemExit("--quantized is TitaNet-only (int8 PTQ tree)")
+    else:
+        model = get_titanet(model_size=args.model_size)
     mel0, _ = log_mel_spectrogram(jnp.zeros((1, 16000)), cfg)
     variables = jax.jit(model.init)(jax.random.key(0), mel0)
     params, stats = variables["params"], variables.get("batch_stats", {})
@@ -115,7 +123,8 @@ def make_handler(embedder, sample_rate=16000):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--port", type=int, default=8077)
-    parser.add_argument("--model-size", default="s")
+    parser.add_argument("--model-size", default="s",
+                        help="s|m|l (TitaNet) or ecapa512|ecapa1024")
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--checkpoint-dir", default=None)
     parser.add_argument("--n-classes", type=int, default=251)
