@@ -178,3 +178,48 @@ def test_diarize_with_vad_skips_silence():
     spk_a = {s.speaker for s in segs if s.end <= 2.05}
     spk_b = {s.speaker for s in segs if s.start >= 3.95}
     assert spk_a and spk_b and spk_a.isdisjoint(spk_b)
+
+
+def test_online_diarizer_matches_reference_tones():
+    from titanet_tpu.train.diarize import OnlineDiarizer
+
+    sr = 8000
+    t = np.arange(sr * 2) / sr
+    a = np.sin(2 * np.pi * 200 * t).astype(np.float32)
+    b = np.sin(2 * np.pi * 1500 * t).astype(np.float32)
+    wav = np.concatenate([a, b, a])
+    dia = OnlineDiarizer(_ToneEmbedder(), sr, window_s=1.0, hop_s=0.5,
+                         threshold=0.8, max_speakers=4)
+    # stream in uneven chunks (exercises buffering across chunk boundaries)
+    segs = None
+    for piece in np.array_split(wav, 7):
+        segs = dia.feed(piece)
+    segs = dia.finish()
+    ref = [(0, 2, 0), (2, 4, 1), (4, 6, 0)]
+    assert diarization_error_rate(ref, segs) < 0.30
+    # speaker ids are STABLE: the first and last segments share one
+    labels = [s.speaker for s in segs]
+    assert labels[0] == labels[-1]
+    # streaming in different chunkings yields identical labels
+    dia2 = OnlineDiarizer(_ToneEmbedder(), sr, window_s=1.0, hop_s=0.5,
+                          threshold=0.8, max_speakers=4)
+    dia2.feed(wav)
+    segs2 = dia2.finish()
+    assert [s.speaker for s in segs2] == labels
+
+
+def test_online_diarizer_speaker_cap():
+    from titanet_tpu.train.diarize import OnlineDiarizer
+
+    class _RandomEmbedder:
+        def __init__(self):
+            self.rng = np.random.default_rng(0)
+
+        def embed(self, windows):
+            return self.rng.standard_normal((len(windows), 16))
+
+    dia = OnlineDiarizer(_RandomEmbedder(), 8000, window_s=0.5, hop_s=0.25,
+                         threshold=0.99, max_speakers=3)
+    dia.feed(np.zeros(8000 * 5, np.float32))
+    labels = {s.speaker for s in dia.segments}
+    assert len(labels) <= 3

@@ -276,6 +276,97 @@ def diarize(
     return segments
 
 
+class OnlineDiarizer:
+    """Streaming diarization: feed audio incrementally, get running
+    segments with stable speaker ids (no lookahead; real-time serving).
+
+    Greedy centroid assignment: each completed window embeds and joins the
+    closest running speaker centroid when its cosine similarity clears
+    ``threshold``, otherwise opens a new speaker (capped at
+    ``max_speakers`` — then the closest centroid wins unconditionally).
+    Centroids are running means of unit embeddings (re-normalized), so
+    they adapt as a speaker accumulates evidence. Offline
+    :func:`diarize` with NME-SC remains the quality reference; this trades
+    global clustering for O(window) latency.
+    """
+
+    def __init__(
+        self,
+        embedder,
+        sample_rate: int,
+        window_s: float = 1.5,
+        hop_s: float = 0.75,
+        threshold: float = 0.6,
+        max_speakers: int = 8,
+    ):
+        self.embedder = embedder
+        self.sr = sample_rate
+        self.win = int(window_s * sample_rate)
+        self.hop = max(1, int(hop_s * sample_rate))
+        self.threshold = threshold
+        self.max_speakers = max_speakers
+        self._buf = np.zeros(0, np.float32)
+        self._consumed = 0  # samples already emitted as window starts
+        self.centroids: List[np.ndarray] = []
+        self._counts: List[int] = []
+        self._labels: List[int] = []
+        self._starts: List[int] = []
+
+    def _assign(self, emb: np.ndarray) -> int:
+        emb = emb / max(np.linalg.norm(emb), 1e-12)
+        if not self.centroids:
+            self.centroids.append(emb.copy())
+            self._counts.append(1)
+            return 0
+        sims = np.array([float(c @ emb) for c in self.centroids])
+        best = int(sims.argmax())
+        if sims[best] < self.threshold and len(self.centroids) < self.max_speakers:
+            self.centroids.append(emb.copy())
+            self._counts.append(1)
+            return len(self.centroids) - 1
+        n = self._counts[best]
+        c = (self.centroids[best] * n + emb) / (n + 1)
+        self.centroids[best] = c / max(np.linalg.norm(c), 1e-12)
+        self._counts[best] += 1
+        return best
+
+    def feed(self, chunk: np.ndarray) -> List[Segment]:
+        """Append audio; embeds every window that completed and returns the
+        updated running segment list (also available as ``segments``)."""
+        self._buf = np.concatenate(
+            [self._buf, np.asarray(chunk, np.float32).reshape(-1)]
+        )
+        windows, starts = [], []
+        while self._consumed + self.win <= len(self._buf):
+            windows.append(self._buf[self._consumed:self._consumed + self.win])
+            starts.append(self._consumed)
+            self._consumed += self.hop
+        if windows:
+            embs = np.asarray(self.embedder.embed(windows))
+            for e, s in zip(embs, starts):
+                self._labels.append(self._assign(e))
+                self._starts.append(s)
+        return self.segments
+
+    @property
+    def segments(self) -> List[Segment]:
+        if not self._labels:
+            return []
+        t0 = [s / self.sr for s in self._starts]
+        t1 = [(s + self.win) / self.sr for s in self._starts]
+        return merge_windows(self._labels, t0, t1)
+
+    def finish(self) -> List[Segment]:
+        """Flush the tail (a final short window over the remaining audio)."""
+        tail = len(self._buf) - self._consumed
+        if tail >= self.hop:  # enough new audio to be worth a window
+            w = self._buf[-self.win:] if len(self._buf) >= self.win else self._buf
+            emb = np.asarray(self.embedder.embed([w]))[0]
+            self._labels.append(self._assign(emb))
+            self._starts.append(max(len(self._buf) - self.win, 0))
+        return self.segments
+
+
 def diarization_error_rate(
     reference: Sequence[Tuple[float, float, int]],
     hypothesis: Sequence[Tuple[float, float, int]],
