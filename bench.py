@@ -37,10 +37,15 @@ def bench_tpu(mel: np.ndarray) -> float:
     dtype = jnp.bfloat16 if DTYPE == "bfloat16" else None
     # TITANET_BENCH_SCAN=1 measures the scan_blocks encoder layout;
     # TITANET_BENCH_MODEL=ecapa measures the ECAPA-TDNN family (C=512)
-    if os.environ.get("TITANET_BENCH_MODEL", "") == "ecapa":
+    bench_model = os.environ.get("TITANET_BENCH_MODEL", "")
+    if bench_model == "ecapa":
         from titanet_tpu.models import get_ecapa
 
         model = get_ecapa(channels=512, dtype=dtype)
+    elif bench_model == "xvector":
+        from titanet_tpu.models import get_xvector
+
+        model = get_xvector(dtype=dtype)
     else:
         model = get_titanet(model_size="s", n_mega_blocks=17, dtype=dtype,
                             scan_blocks=os.environ.get("TITANET_BENCH_SCAN", "") == "1")
@@ -139,7 +144,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": ("ECAPA-512" if os.environ.get("TITANET_BENCH_MODEL", "") == "ecapa" else "TitaNet-S") + " mel->embedding throughput",
+                "metric": {"ecapa": "ECAPA-512", "xvector": "x-vector"}.get(os.environ.get("TITANET_BENCH_MODEL", ""), "TitaNet-S") + " mel->embedding throughput",
                 "value": round(tpu, 1),
                 "unit": "utt/s/chip",
                 "vs_baseline": round(vs, 1) if vs is not None else None,

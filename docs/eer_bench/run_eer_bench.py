@@ -119,6 +119,13 @@ RUNS = [
      {"training.loss": "ce", "generic.seed": 43, "ecapa.enabled": True}),
     ("bench13_ecapa_seed44",
      {"training.loss": "ce", "generic.seed": 44, "ecapa.enabled": True}),
+    # third model family: x-vector TDNN (Snyder 2018), same CE protocol
+    ("bench14_xvector_seed42",
+     {"training.loss": "ce", "generic.seed": 42, "xvector.enabled": True}),
+    ("bench14_xvector_seed43",
+     {"training.loss": "ce", "generic.seed": 43, "xvector.enabled": True}),
+    ("bench14_xvector_seed44",
+     {"training.loss": "ce", "generic.seed": 44, "xvector.enabled": True}),
 ]
 
 
@@ -250,6 +257,8 @@ def main():
         model_cell = r.get("titanet.model_size", "s")
         if r.get("ecapa.enabled"):
             model_cell = "ecapa"
+        elif r.get("xvector.enabled"):
+            model_cell = "xvector"
         elif r.get("baseline.enabled"):
             model_cell = "dvector"
         lines.append(
@@ -270,6 +279,7 @@ def main():
         "bench11": "SphereFace (TitaNet-S)",
         "bench12": "CE + weight EMA 0.99 (TitaNet-S)",
         "bench13": "CE (ECAPA-TDNN C=512)",
+        "bench14": "CE (x-vector TDNN)",
     }
     for prefix, label in names.items():
         be, bd = band(prefix, "eer"), band(prefix, "mindcf")

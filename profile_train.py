@@ -45,10 +45,15 @@ def build_step(batch, seconds, n_classes, dtype, infer=False):
     frontend = FrontendConfig.from_ms()
     import os
 
-    if os.environ.get("TITANET_BENCH_MODEL", "") == "ecapa":
+    bench_model = os.environ.get("TITANET_BENCH_MODEL", "")
+    if bench_model == "ecapa":
         from titanet_tpu.models import get_ecapa
 
         model = get_ecapa(channels=512, dtype=jnp.dtype(dtype))
+    elif bench_model == "xvector":
+        from titanet_tpu.models import get_xvector
+
+        model = get_xvector(dtype=jnp.dtype(dtype))
     else:
         model = get_titanet(
             model_size="s", n_mega_blocks=17, dtype=jnp.dtype(dtype),

@@ -75,6 +75,15 @@ def build_model(cfg: Config, dtype=None):
             attention_hidden_size=cfg.ecapa.attention_hidden_size,
             dtype=dtype,
         )
+    if cfg.xvector.enabled:
+        from titanet_tpu.models import get_xvector
+
+        return get_xvector(
+            hidden_size=cfg.xvector.hidden_size,
+            frame_out=cfg.xvector.frame_out,
+            embedding_size=cfg.generic.embedding_size,
+            dtype=dtype,
+        )
     return get_titanet(
         embedding_size=cfg.generic.embedding_size,
         n_mels=cfg.audio.spectrogram.n_mels,

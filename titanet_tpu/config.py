@@ -228,6 +228,16 @@ class EcapaConfig:
 
 @_register
 @dataclass
+class XvectorConfig:
+    # x-vector TDNN (Snyder et al. 2018) — third model family beyond the
+    # reference. Defaults are the paper scale (H=512, P=1500, ~4M params).
+    enabled: bool = False
+    hidden_size: int = 512
+    frame_out: int = 1500
+
+
+@_register
+@dataclass
 class WandbConfig:
     enabled: bool = False
     entity: str = ""
@@ -347,6 +357,7 @@ class Config:
     titanet: "TitanetConfig" = field(default_factory=TitanetConfig)
     baseline: "BaselineConfig" = field(default_factory=BaselineConfig)
     ecapa: "EcapaConfig" = field(default_factory=EcapaConfig)
+    xvector: "XvectorConfig" = field(default_factory=XvectorConfig)
     wandb: "WandbConfig" = field(default_factory=WandbConfig)
     generic: "GenericConfig" = field(default_factory=GenericConfig)
     audio: "AudioConfig" = field(default_factory=AudioConfig)

@@ -11,6 +11,10 @@ from titanet_tpu.models.ecapa import (  # noqa: F401
     EcapaTdnn,
     get_ecapa,
 )
+from titanet_tpu.models.xvector import (  # noqa: F401
+    XVector,
+    get_xvector,
+)
 from titanet_tpu.models.quantized import (  # noqa: F401
     QuantTitaNet,
     quantize_titanet,
