@@ -126,6 +126,13 @@ RUNS = [
      {"training.loss": "ce", "generic.seed": 43, "xvector.enabled": True}),
     ("bench14_xvector_seed44",
      {"training.loss": "ce", "generic.seed": 44, "xvector.enabled": True}),
+    # fourth model family: ResNet34 r-vector (2D convs), same CE protocol
+    ("bench15_resnet_seed42",
+     {"training.loss": "ce", "generic.seed": 42, "resnet.enabled": True}),
+    ("bench15_resnet_seed43",
+     {"training.loss": "ce", "generic.seed": 43, "resnet.enabled": True}),
+    ("bench15_resnet_seed44",
+     {"training.loss": "ce", "generic.seed": 44, "resnet.enabled": True}),
 ]
 
 
@@ -259,6 +266,8 @@ def main():
             model_cell = "ecapa"
         elif r.get("xvector.enabled"):
             model_cell = "xvector"
+        elif r.get("resnet.enabled"):
+            model_cell = "resnet"
         elif r.get("baseline.enabled"):
             model_cell = "dvector"
         lines.append(

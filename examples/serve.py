@@ -50,6 +50,12 @@ def build_embedder(args):
         model = get_xvector()
         if args.quantized:
             raise SystemExit("--quantized is TitaNet-only (int8 PTQ tree)")
+    elif args.model_size == "resnet":
+        from titanet_tpu.models import get_resnet
+
+        model = get_resnet()
+        if args.quantized:
+            raise SystemExit("--quantized is TitaNet-only (int8 PTQ tree)")
     else:
         model = get_titanet(model_size=args.model_size)
     mel0, _ = log_mel_spectrogram(jnp.zeros((1, 16000)), cfg)
@@ -130,7 +136,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--port", type=int, default=8077)
     parser.add_argument("--model-size", default="s",
-                        help="s|m|l (TitaNet), ecapa512|ecapa1024, or xvector")
+                        help="s|m|l (TitaNet), ecapa512|ecapa1024, xvector, "
+                             "or resnet")
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--checkpoint-dir", default=None)
     parser.add_argument("--n-classes", type=int, default=251)

@@ -54,6 +54,10 @@ def build_step(batch, seconds, n_classes, dtype, infer=False):
         from titanet_tpu.models import get_xvector
 
         model = get_xvector(dtype=jnp.dtype(dtype))
+    elif bench_model == "resnet":
+        from titanet_tpu.models import get_resnet
+
+        model = get_resnet(dtype=jnp.dtype(dtype))
     else:
         model = get_titanet(
             model_size="s", n_mega_blocks=17, dtype=jnp.dtype(dtype),

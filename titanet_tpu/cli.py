@@ -84,6 +84,15 @@ def build_model(cfg: Config, dtype=None):
             embedding_size=cfg.generic.embedding_size,
             dtype=dtype,
         )
+    if cfg.resnet.enabled:
+        from titanet_tpu.models import get_resnet
+
+        return get_resnet(
+            depth=cfg.resnet.depth,
+            base_channels=cfg.resnet.base_channels,
+            embedding_size=cfg.generic.embedding_size,
+            dtype=dtype,
+        )
     return get_titanet(
         embedding_size=cfg.generic.embedding_size,
         n_mels=cfg.audio.spectrogram.n_mels,

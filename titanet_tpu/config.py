@@ -238,6 +238,16 @@ class XvectorConfig:
 
 @_register
 @dataclass
+class ResnetConfig:
+    # ResNet r-vector (arXiv:1910.12592) — fourth model family beyond the
+    # reference. depth 34 / base 32 is the r-vector scale (~6.3M params).
+    enabled: bool = False
+    depth: int = 34
+    base_channels: int = 32
+
+
+@_register
+@dataclass
 class WandbConfig:
     enabled: bool = False
     entity: str = ""
@@ -358,6 +368,7 @@ class Config:
     baseline: "BaselineConfig" = field(default_factory=BaselineConfig)
     ecapa: "EcapaConfig" = field(default_factory=EcapaConfig)
     xvector: "XvectorConfig" = field(default_factory=XvectorConfig)
+    resnet: "ResnetConfig" = field(default_factory=ResnetConfig)
     wandb: "WandbConfig" = field(default_factory=WandbConfig)
     generic: "GenericConfig" = field(default_factory=GenericConfig)
     audio: "AudioConfig" = field(default_factory=AudioConfig)

@@ -1,5 +1,5 @@
-"""Model zoo: TitaNet S/M/L, ECAPA-TDNN, d-vector LSTM baseline,
-smoke-test convnet."""
+"""Model zoo: TitaNet S/M/L, ECAPA-TDNN, x-vector TDNN, ResNet r-vector,
+d-vector LSTM baseline, smoke-test convnet."""
 
 import jax.numpy as jnp
 
@@ -14,6 +14,10 @@ from titanet_tpu.models.ecapa import (  # noqa: F401
 from titanet_tpu.models.xvector import (  # noqa: F401
     XVector,
     get_xvector,
+)
+from titanet_tpu.models.resnet import (  # noqa: F401
+    SpeakerResNet,
+    get_resnet,
 )
 from titanet_tpu.models.quantized import (  # noqa: F401
     QuantTitaNet,
