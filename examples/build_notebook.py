@@ -524,17 +524,24 @@ print("int8 vs f32 embedding cosine (min):", float(np.asarray(cos).min()))"""),
 
     # ----------------------------------------- second model family: ECAPA
     ("md", """\
-## 12. Second model family: ECAPA-TDNN
+## 12. The model zoo beyond the reference
 
-Beyond the reference's zoo: `titanet_tpu.models.ecapa` (arXiv:2005.07143)
-— SE-Res2Blocks, multi-layer feature aggregation, channel-context
-attentive pooling — built from the same op set, so every step/loop/CLI
-path drives it unchanged (`ecapa: {enabled: true}` in YAML). C=512 is
-6.2M params and trains ~1.3x FASTER than TitaNet-S on TPU
-(BENCHMARKS.md); its hard-corpus EER band is bench13 in
-docs/eer_bench/RESULTS.md."""),
+The reference ships TitaNet + a d-vector baseline. This package adds the
+three other canonical speaker-embedder archetypes, all built from the
+shared op set so every step/loop/CLI path drives them unchanged:
+
+- **ECAPA-TDNN** (arXiv:2005.07143, `ecapa: {enabled: true}`):
+  SE-Res2Blocks + MFA + channel-context attentive pooling; C=512 is 6.2M
+  params and trains ~1.5x FASTER than TitaNet-S on TPU (BENCHMARKS.md);
+  hard-corpus band bench13.
+- **x-vector** (Snyder 2018, `xvector: {enabled: true}`): the classic
+  dilated TDNN — 3.9x TitaNet-S train throughput at ~1 EER point cost
+  (bench14); the speed end of the frontier.
+- **ResNet34 r-vector** (arXiv:1910.12592, `resnet: {enabled: true}`):
+  2D convs over the mel map as an image; the quality-oriented family
+  (bench15), ~4x TitaNet-S FLOPs."""),
     ("code", """\
-from titanet_tpu.models import get_ecapa
+from titanet_tpu.models import get_ecapa, get_resnet, get_xvector
 
 ecapa = get_ecapa(channels=128 if FAST else 256)
 e_state = create_train_state(jax.random.key(3), ecapa, head, opt,
@@ -544,6 +551,16 @@ e_state, e_metrics, _ = train_one_epoch(
     frontend=cfg, augment=AugmentConfig(probability=0.5), renorm_head=True)
 print("ecapa epoch-1:", {k: round(v, 3) for k, v in e_metrics.items()
                          if k in ("train/avg_loss", "train/accuracy")})"""),
+    ("code", """\
+# the whole zoo answers the same (mel -> [B, E]) contract
+for name, m in [("xvector", get_xvector(hidden_size=64, frame_out=128)),
+                ("resnet18", get_resnet(depth=18, base_channels=8))]:
+    vz = jax.jit(m.init)(jax.random.key(0), jnp.zeros((2, 151, 80)))
+    nz = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(vz["params"]))
+    ez = jax.jit(lambda v, x: m.apply(v, x, train=False))(
+        vz, jnp.asarray(np.random.default_rng(0).standard_normal((2, 151, 80)),
+                        jnp.float32))
+    print(f"{name}: {nz/1e6:.2f}M params (demo scale), emb {ez.shape}")"""),
 
     # ------------------------------------------------- score normalization
     ("md", """\
