@@ -133,7 +133,41 @@ RUNS = [
      {"training.loss": "ce", "generic.seed": 43, "resnet.enabled": True}),
     ("bench15_resnet_seed44",
      {"training.loss": "ce", "generic.seed": 44, "resnet.enabled": True}),
+    # margin warmup: arc with the margin ramped 0 -> 0.2 over the first 15
+    # of 40 epochs — tests whether warmup closes the measured CE-vs-Arc gap
+    # (bench2 0.237 +- 0.005 vs bench3 0.288 +- 0.001)
+    ("bench16_arc_warmup_seed42",
+     {"training.loss": "arc", "generic.seed": 42,
+      "loss.arc.margin_warmup_epochs": 15}),
+    ("bench16_arc_warmup_seed43",
+     {"training.loss": "arc", "generic.seed": 43,
+      "loss.arc.margin_warmup_epochs": 15}),
+    ("bench16_arc_warmup_seed44",
+     {"training.loss": "arc", "generic.seed": 44,
+      "loss.arc.margin_warmup_epochs": 15}),
 ]
+
+
+def _bench17(seed):
+    # knowledge distillation: x-vector student under a TitaNet-S CE+EMA
+    # teacher (the bench12 checkpoints, which must exist on disk — they are
+    # not ledger-cacheable; rerun bench12 first if checkpoints were wiped).
+    # Measures whether the fast family inherits quality from the slow one
+    # vs its plain band (bench14: 0.247 +- 0.003).
+    return (
+        f"bench17_distill_xvector_seed{seed}",
+        {"training.loss": "ce", "generic.seed": seed,
+         "xvector.enabled": True,
+         "distill.enabled": True,
+         "distill.teacher_checkpoint":
+             f"./checkpoints/eer_bench/bench12_ce_ema_seed{seed}",
+         "distill.teacher_overrides": {"xvector.enabled": False,
+                                       "training.ema_decay": 0.99},
+         "distill.alpha": 0.5},
+    )
+
+
+RUNS += [_bench17(s) for s in (42, 43, 44)]
 
 
 LEDGER_PATH = os.path.join(OUT_DIR, "ledger.json")

@@ -106,6 +106,52 @@ def build_model(cfg: Config, dtype=None):
     )
 
 
+def _load_teacher(cfg: Config, n_speakers: int):
+    """Build the frozen distillation teacher from ``cfg.distill``:
+    (teacher_model, teacher_variables, alpha) for the train step, or None.
+
+    The teacher's architecture is THIS config plus
+    ``distill.teacher_overrides`` (dotted paths, e.g. disable the student's
+    family flag and name the teacher's); its weights come from the orbax
+    run dir ``distill.teacher_checkpoint`` (EMA weights when present and
+    ``teacher_ema``). The teacher must share the frontend geometry —
+    it consumes the same on-device mel as the student.
+    """
+    if not cfg.distill.enabled:
+        return None
+    if not cfg.distill.teacher_checkpoint:
+        raise ValueError("distill.enabled requires distill.teacher_checkpoint")
+    from titanet_tpu.config import apply_overrides
+    from titanet_tpu.train import checkpoint as ckpt
+
+    tcfg = (
+        apply_overrides(cfg, dict(cfg.distill.teacher_overrides))
+        if cfg.distill.teacher_overrides
+        else cfg
+    )
+    teacher_model, _, _, abstract = _rebuild_state(tcfg, n_speakers)
+    state, _ = ckpt.restore_latest(cfg.distill.teacher_checkpoint, abstract)
+    if state is None:
+        raise FileNotFoundError(
+            f"no teacher checkpoint under {cfg.distill.teacher_checkpoint!r}"
+        )
+    params = state.params["backbone"]
+    if cfg.distill.teacher_ema and state.ema_params is not None:
+        params = state.ema_params["backbone"]
+    variables = {"params": params, "batch_stats": state.batch_stats}
+    return teacher_model, variables, cfg.distill.alpha
+
+
+def _margin_warmup_steps(cfg: Config, steps_per_epoch: int):
+    """loss.<head>.margin_warmup_epochs -> optimizer steps (None = off)."""
+    epochs = {
+        "sphere": cfg.loss.sphere.margin_warmup_epochs,
+        "cos": cfg.loss.cos.margin_warmup_epochs,
+        "arc": cfg.loss.arc.margin_warmup_epochs,
+    }.get(cfg.training.loss, 0)
+    return epochs * steps_per_epoch if epochs > 0 else None
+
+
 def build_head_from_config(cfg: Config, n_speakers: int):
     loss_name = cfg.training.loss
     kwargs = {}
@@ -328,6 +374,8 @@ def train(cfg: Config) -> None:
         augment=augment,
         renorm_head=cfg.training.loss in ("sphere", "cos", "arc"),
         ema_decay=cfg.training.ema_decay or None,
+        margin_warmup_steps=_margin_warmup_steps(cfg, len(train_loader)),
+        teacher=_load_teacher(cfg, n_speakers),
         test_loader=test_loader,
         val_loader=val_loader,
         val_every=cfg.validation.every if cfg.validation.enabled else None,

@@ -159,6 +159,10 @@ class TestConfig:
 class SphereLossConfig:
     margin: float = 4.0
     scale: Optional[float] = None
+    # ramp the margin 0 -> target over the first N epochs (0 = off);
+    # margin warmup stabilizes angular-margin training (TPU addition,
+    # absent in the reference)
+    margin_warmup_epochs: int = 0
 
 
 @_register
@@ -166,6 +170,7 @@ class SphereLossConfig:
 class CosLossConfig:
     margin: float = 0.2
     scale: float = 64.0
+    margin_warmup_epochs: int = 0  # see SphereLossConfig
 
 
 @_register
@@ -173,6 +178,7 @@ class CosLossConfig:
 class ArcLossConfig:
     margin: float = 0.2
     scale: float = 30.0
+    margin_warmup_epochs: int = 0  # see SphereLossConfig
 
 
 @_register
@@ -234,6 +240,26 @@ class XvectorConfig:
     enabled: bool = False
     hidden_size: int = 512
     frame_out: int = 1500
+
+
+@_register
+@dataclass
+class DistillConfig:
+    # Embedding-space knowledge distillation (beyond the reference): the
+    # student trains with (1-alpha)*head_loss + alpha*(1 - cos(student_emb,
+    # teacher_emb)) against a frozen trained teacher. Lets the fast
+    # families (x-vector/ECAPA) inherit quality from the slow ones
+    # (TitaNet/ResNet); measured effect in docs/eer_bench (bench17).
+    enabled: bool = False
+    # orbax run directory of the trained teacher (e.g.
+    # ./checkpoints/eer_bench/bench12_ce_ema_seed42)
+    teacher_checkpoint: str = ""
+    # dotted-path overrides applied to THIS config to describe the
+    # teacher's architecture/run, e.g.
+    # {"xvector.enabled": false, "training.ema_decay": 0.99}
+    teacher_overrides: Optional[dict] = None
+    teacher_ema: bool = True  # use EMA weights when the checkpoint has them
+    alpha: float = 0.5
 
 
 @_register
@@ -369,6 +395,7 @@ class Config:
     ecapa: "EcapaConfig" = field(default_factory=EcapaConfig)
     xvector: "XvectorConfig" = field(default_factory=XvectorConfig)
     resnet: "ResnetConfig" = field(default_factory=ResnetConfig)
+    distill: "DistillConfig" = field(default_factory=DistillConfig)
     wandb: "WandbConfig" = field(default_factory=WandbConfig)
     generic: "GenericConfig" = field(default_factory=GenericConfig)
     audio: "AudioConfig" = field(default_factory=AudioConfig)
@@ -405,18 +432,23 @@ class Config:
         return cls.from_dict(data or {})
 
 
+def apply_overrides(cfg: Config, overrides: dict) -> Config:
+    """Apply ``{"a.b.c": value}`` dotted-path overrides to a Config."""
+    data = cfg.to_dict()
+    for dotted, value in overrides.items():
+        node: Any = data
+        *parents, leaf = dotted.split(".")
+        for p in parents:
+            node = node[p]
+        if leaf not in node:
+            raise ValueError(f"Unknown override key {dotted!r}")
+        node[leaf] = value
+    return Config.from_dict(data).validate()
+
+
 def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) -> Config:
     """Load a config from YAML with optional ``{"a.b.c": value}`` overrides."""
     cfg = Config.from_yaml(path) if path else Config()
     if overrides:
-        data = cfg.to_dict()
-        for dotted, value in overrides.items():
-            node: Any = data
-            *parents, leaf = dotted.split(".")
-            for p in parents:
-                node = node[p]
-            if leaf not in node:
-                raise ValueError(f"Unknown override key {dotted!r}")
-            node[leaf] = value
-        cfg = Config.from_dict(data)
+        cfg = apply_overrides(cfg, overrides)
     return cfg.validate()

@@ -69,6 +69,16 @@ class AngularMarginHead(nn.Module):
     ``stable=True`` (default) clamps cosines to 1-1e-7 so arccos' gradient
     stays finite (SURVEY.md §7 hard part 6); ``stable=False`` reproduces the
     reference clamp to exactly [-1, 1].
+
+    ``margin_scale`` (a traced scalar in [0, 1], optional) scales every
+    margin toward its identity value — ``m1 -> 1 + s*(m1-1)``,
+    ``m2 -> s*m2``, ``m3 -> s*m3`` — so the train step can ramp the margin
+    from 0 (plain normalized softmax) to its target over early training
+    WITHOUT recompilation (the schedule is data, not structure). Margin
+    warmup is the standard cure for angular-margin instability in the
+    low-data/short-training regime (the reference has no equivalent;
+    its margins are fixed constants, src/losses.py:135-183). ``None``
+    preserves the exact reference forward bit-for-bit.
     """
 
     n_classes: int
@@ -82,7 +92,12 @@ class AngularMarginHead(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, embeddings: jax.Array, targets: jax.Array):
+    def __call__(
+        self,
+        embeddings: jax.Array,
+        targets: jax.Array,
+        margin_scale: Optional[jax.Array] = None,
+    ):
         weight = self.param(
             "weight",
             torch_conv_init(self.embedding_size),
@@ -102,7 +117,14 @@ class AngularMarginHead(nn.Module):
         )
         angles = jnp.arccos(cosines)
         target_angle = jnp.take_along_axis(angles, targets[:, None], axis=1)[:, 0]
-        numerator = scales * (jnp.cos(self.m1 * target_angle + self.m2) - self.m3)
+        if margin_scale is None:
+            m1, m2, m3 = self.m1, self.m2, self.m3
+        else:
+            s = jnp.asarray(margin_scale, jnp.float32)
+            m1 = 1.0 + s * (self.m1 - 1.0)
+            m2 = s * self.m2
+            m3 = s * self.m3
+        numerator = scales * (jnp.cos(m1 * target_angle + m2) - m3)
 
         # denominator: exp(margined target) + sum over non-target un-margined
         all_logits = scales[:, None] * cosines

@@ -109,6 +109,8 @@ def train_one_epoch(
     augment=None,
     renorm_head: bool = False,
     ema_decay: Optional[float] = None,
+    margin_warmup_steps: Optional[int] = None,
+    teacher: Optional[tuple] = None,  # (teacher_model, teacher_variables, alpha)
     console: Optional[ConsoleLogger] = None,
     batch_sharding=None,
     collect_embeddings: bool = False,
@@ -139,10 +141,16 @@ def train_one_epoch(
         # the jitted step (~1 ms/step at B=128, profile_train.py). jit caches
         # both variants; ragged batches keep exact per-length semantics.
         uniform = int(batch.lengths.min()) == batch.waveform.shape[1]
+        distill_kw = {}
+        if teacher is not None:
+            t_model, t_vars, t_alpha = teacher
+            distill_kw = dict(teacher_model=t_model, teacher_variables=t_vars,
+                              distill_alpha=t_alpha)
         state, metrics = train_step(
             state, wav, None if uniform else lengths, speakers,
             model=model, head=head, optimizer=optimizer, frontend=frontend,
             augment=augment, renorm_head=renorm_head, ema_decay=ema_decay,
+            margin_warmup_steps=margin_warmup_steps, **distill_kw,
         )
         acc = accumulate_metrics(acc, metrics["loss"], metrics["preds"], speakers)
         step += 1
@@ -315,6 +323,11 @@ def training_loop(
     augment=None,
     renorm_head: bool = False,
     ema_decay: Optional[float] = None,  # weight EMA; eval/test use EMA weights
+    # ramp angular margins 0 -> target over this many optimizer steps
+    # (margin warmup; see AngularMarginHead.margin_scale)
+    margin_warmup_steps: Optional[int] = None,
+    # knowledge distillation: (teacher_model, teacher_variables, alpha)
+    teacher: Optional[tuple] = None,
     test_loader: Optional[DataLoader] = None,
     val_loader: Optional[DataLoader] = None,
     val_every: Optional[int] = None,
@@ -363,6 +376,7 @@ def training_loop(
             epoch, epochs, state, train_loader,
             model=model, head=head, optimizer=optimizer, frontend=frontend,
             augment=augment, renorm_head=renorm_head, ema_decay=ema_decay,
+            margin_warmup_steps=margin_warmup_steps, teacher=teacher,
             console=console, batch_sharding=batch_sharding,
             collect_embeddings=figures_dir is not None,
         )

@@ -138,7 +138,8 @@ def _jitted_train_step(options_items: tuple):
         _train_step_impl,
         static_argnames=(
             "model", "head", "optimizer", "frontend", "augment",
-            "renorm_head", "masked", "ema_decay",
+            "renorm_head", "masked", "ema_decay", "margin_warmup_steps",
+            "teacher_model", "distill_alpha",
         ),
         donate_argnames=("state",),
         compiler_options=dict(options_items) or None,
@@ -171,6 +172,13 @@ def _train_step_impl(
     renorm_head: bool = False,
     masked: bool = False,
     ema_decay: Optional[float] = None,
+    margin_warmup_steps: Optional[int] = None,
+    # knowledge distillation: frozen teacher (static module + traced
+    # variables); student loss becomes
+    # (1-alpha)*head_loss + alpha*(1 - cos(student_emb, teacher_emb))
+    teacher_model=None,
+    teacher_variables=None,
+    distill_alpha: float = 0.5,
 ):
     key, k_aug, k_drop, k_pool = jax.random.split(state.key, 4)
     waveform = _dequantize_waveform(waveform)
@@ -205,9 +213,32 @@ def _train_step_impl(
             rngs={"dropout": k_drop},
             **kwargs,
         )
+        # margin warmup: ramp angular margins linearly over the first
+        # `margin_warmup_steps` optimizer steps. The scale is a traced
+        # function of state.step, so the schedule costs zero recompiles.
+        head_kw = {}
+        if margin_warmup_steps is not None and margin_warmup_steps > 0:
+            head_kw["margin_scale"] = jnp.clip(
+                state.step.astype(jnp.float32) / float(margin_warmup_steps),
+                0.0, 1.0,
+            )
         norm_emb, preds, loss = head.apply(
-            {"params": params["head"]}, emb, speakers
+            {"params": params["head"]}, emb, speakers, **head_kw
         )
+        if teacher_model is not None:
+            # the teacher sees the SAME (augmented) mel view in eval mode;
+            # cosine distance on unit-norm embeddings is the standard
+            # embedding-space distillation objective
+            t_emb = teacher_model.apply(
+                teacher_variables, mel, train=False, mask=model_mask
+            )
+            t_emb = jax.lax.stop_gradient(
+                l2_normalize(t_emb.astype(jnp.float32))
+            )
+            distill = jnp.mean(
+                1.0 - jnp.sum(norm_emb.astype(jnp.float32) * t_emb, axis=-1)
+            )
+            loss = (1.0 - distill_alpha) * loss + distill_alpha * distill
         return loss, (norm_emb, preds, updates)
 
     (loss, (emb, preds, updates)), grads = jax.value_and_grad(
