@@ -84,17 +84,20 @@ def main():
         # configuration: chunk + speed perturb + convolution reverb, both
         # per-example on the host (reference src/transforms.py:78-108,
         # 236-298)
+        aug = dict(
+            speed=SpeedConfig(rates=(0.95, 1.0, 1.05), probability=0.5,
+                              enabled=True, continuous=True),
+            reverb=ReverbConfig(rir_paths=rirs, probability=0.5,
+                                enabled=True),
+        )
         configs = [
             ("decode+chunk", {}),
-            (
-                "decode+chunk+speed+reverb",
-                dict(
-                    speed=SpeedConfig(rates=(0.95, 1.0, 1.05), probability=0.5,
-                                      enabled=True, continuous=True),
-                    reverb=ReverbConfig(rir_paths=rirs, probability=0.5,
-                                        enabled=True),
-                ),
-            ),
+            ("decode+chunk+speed+reverb", dict(aug)),
+            # generic.cache_waveforms: epochs >= 2 serve decoded audio from
+            # the int16 cache — this row measures the steady-state epoch
+            # (the warm-up epoch below fills the cache)
+            ("cached+chunk", dict(cache_waveforms=True)),
+            ("cached+chunk+speed+reverb", dict(aug, cache_waveforms=True)),
         ]
         for tag, extra in configs:
             for workers in (0, 2, 4):

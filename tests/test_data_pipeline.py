@@ -316,3 +316,68 @@ def test_continuous_speed_perturbation():
         ds, speed=SpeedConfig(enabled=True, continuous=True,
                               rates=(0.9, 1.1), probability=1.0), **kw)))
     np.testing.assert_array_equal(b.lengths, b2.lengths)  # deterministic
+
+
+class _CountingDataset(SyntheticSpeakerDataset):
+    """Counts __getitem__ decodes to observe cache behavior."""
+
+    def __init__(self, **kw):
+        super().__init__(**kw)
+        self.decodes = 0
+
+    def __getitem__(self, idx):
+        self.decodes += 1
+        return super().__getitem__(idx)
+
+
+def test_waveform_cache_skips_decode_and_is_epoch_consistent():
+    ds = _CountingDataset(n_speakers=4, utterances_per_speaker=6)
+    loader = DataLoader(ds, batch_size=8, seed=3, prefetch=0,
+                        cache_waveforms=True)
+    loader.set_epoch(0)
+    e0 = list(loader)
+    first = ds.decodes
+    assert first == len(e0) * 8
+    loader.set_epoch(1)
+    list(loader)
+    assert ds.decodes == first  # epoch 2+ fully served from cache
+    # cache-hit audio is bit-identical to the (quantized) miss-path audio
+    loader.set_epoch(0)
+    e0_again = list(loader)
+    for a, b in zip(e0, e0_again):
+        np.testing.assert_array_equal(a.waveform, b.waveform)
+        np.testing.assert_array_equal(a.speaker_ids, b.speaker_ids)
+
+
+def test_waveform_cache_budget_and_quantization_error():
+    ds = SyntheticSpeakerDataset(n_speakers=3, utterances_per_speaker=4)
+    plain = DataLoader(ds, batch_size=4, seed=5, prefetch=0)
+    # budget 0: nothing inserted, but values still follow the quantized
+    # (epoch-consistent) path and stay within one int16 step of the raw audio
+    capped = DataLoader(ds, batch_size=4, seed=5, prefetch=0,
+                        cache_waveforms=True, cache_budget_mb=0)
+    plain.set_epoch(0), capped.set_epoch(0)
+    for a, b in zip(plain, capped):
+        assert np.max(np.abs(a.waveform - b.waveform)) <= 1.0 / 32768.0
+    assert capped._cache_bytes == 0 and not capped._wave_cache
+    full = DataLoader(ds, batch_size=4, seed=5, prefetch=0,
+                      cache_waveforms=True)
+    full.set_epoch(0)
+    list(full)
+    assert len(full._wave_cache) == len(ds)
+    assert full._cache_bytes == sum(
+        q.nbytes for q, _ in full._wave_cache.values()
+    )
+
+
+def test_waveform_cache_under_decode_workers(ds):
+    """Cache + thread pool: same batches as the single-threaded cache run."""
+    kw = dict(batch_size=8, seed=11, prefetch=0, cache_waveforms=True,
+              chunk=ChunkConfig(max_length=1.5, enabled=True))
+    a = DataLoader(ds, num_workers=0, **kw)
+    b = DataLoader(ds, num_workers=4, **kw)
+    for epoch in (0, 1):
+        a.set_epoch(epoch), b.set_epoch(epoch)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x.waveform, y.waveform)
+            np.testing.assert_array_equal(x.speaker_ids, y.speaker_ids)

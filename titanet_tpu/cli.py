@@ -270,6 +270,10 @@ def train(cfg: Config) -> None:
     # Multi-host: each process loads a disjoint round-robin slice of the
     # epoch's batches (single-process runs see every batch). The schedule
     # length below uses len(train_loader), which is already per-shard.
+    cache_kw = dict(
+        cache_waveforms=cfg.generic.cache_waveforms,
+        cache_budget_mb=cfg.generic.cache_budget_mb,
+    )
     train_loader = DataLoader(
         train_ds, batch_size=cfg.training.batch_size, shuffle=True,
         chunk=chunk, speed=speed, reverb=reverb, balanced=balanced,
@@ -277,16 +281,17 @@ def train(cfg: Config) -> None:
         num_workers=max(cfg.generic.workers, 0),
         transport_dtype=cfg.training.transport_dtype,
         shard_id=jax.process_index(), num_shards=jax.process_count(),
+        **cache_kw,
     )
     val_loader = DataLoader(
         val_ds, batch_size=cfg.validation.batch_size, shuffle=False,
         chunk=ChunkConfig(enabled=False), sample_rate=cfg.audio.sample_rate,
-        seed=cfg.generic.seed,
+        seed=cfg.generic.seed, **cache_kw,
     ) if cfg.validation.enabled else None
     test_loader = DataLoader(
         test_ds, batch_size=cfg.validation.batch_size, shuffle=False,
         drop_last=False, chunk=ChunkConfig(enabled=False),
-        sample_rate=cfg.audio.sample_rate, seed=cfg.generic.seed,
+        sample_rate=cfg.audio.sample_rate, seed=cfg.generic.seed, **cache_kw,
     ) if cfg.test.enabled else None
     cohort_loader, cohort_topk = (
         _cohort_loader(cfg, train_ds) if cfg.test.enabled else (None, None)

@@ -298,6 +298,12 @@ class GenericConfig:
     # TPU compiles cost ~5-60 s per executable; restarts/resumes/eval-only
     # runs with identical programs are served from this cache instead.
     compilation_cache_dir: str = ""
+    # Memoize decoded+resampled waveforms (int16 PCM, per loader) so epochs
+    # >= 2 skip audio decode — the host pipeline's dominant cost
+    # (bench_loader.py). The reference re-decoded every example every epoch
+    # (src/datasets.py:283-294). Budget in MB of int16 PCM per loader.
+    cache_waveforms: bool = False
+    cache_budget_mb: int = 2048
 
 
 @_register

@@ -118,6 +118,8 @@ class DataLoader:
         transport_dtype: str = "float32",  # or "int16": PCM wire format,
         # halves host->device transfer (dequantized on device; audio sources
         # are 16-bit PCM, so int16 is the source's own precision)
+        cache_waveforms: bool = False,  # memoize decoded+resampled audio
+        cache_budget_mb: int = 2048,  # int16 PCM bytes kept in memory
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -150,6 +152,17 @@ class DataLoader:
             )
         assert transport_dtype in ("float32", "int16")
         self.transport_dtype = transport_dtype
+        # Decoded-waveform cache: the reference re-decoded and re-ran the
+        # whole transform chain per example per EPOCH (src/datasets.py:283-294
+        # — SURVEY.md §3.2 names it a hot loop). Decode dominates this host
+        # pipeline (bench_loader.py), so epochs >= 2 skip it entirely: the
+        # post-decode/post-resample waveform is memoized as int16 PCM (the
+        # sources' own bit depth) up to ``cache_budget_mb``; random
+        # augmentation stays per-epoch downstream of the cache.
+        self.cache_waveforms = cache_waveforms
+        self.cache_budget_mb = cache_budget_mb
+        self._wave_cache: dict = {}
+        self._cache_bytes = 0
         self.epoch = 0
         self._rir_cache: dict = {}
 
@@ -170,7 +183,20 @@ class DataLoader:
         self.epoch = epoch
 
     # -- internals ----------------------------------------------------------
-    def _load_one(self, idx: int, rng: np.random.Generator):
+    def _decoded(self, idx: int):
+        """``(waveform float32 [T] at the pipeline rate, speaker_id)``.
+
+        With ``cache_waveforms``, serves from / inserts into the int16 PCM
+        cache. Values are quantized on the MISS path too, so every epoch
+        sees bit-identical base audio whether or not the item fit the
+        budget (thread-safe under the decode pool: dict ops are atomic,
+        and a racy double-insert is idempotent).
+        """
+        if self.cache_waveforms:
+            hit = self._wave_cache.get(idx)
+            if hit is not None:
+                q, speaker_id = hit
+                return q.astype(np.float32) / 32768.0, speaker_id
         ex = self.dataset[idx]
         wav = np.asarray(ex["waveform"], np.float32)
         if wav.ndim == 2:
@@ -178,6 +204,16 @@ class DataLoader:
         sr = ex["sample_rate"]
         if sr != self.sample_rate:
             wav = _resample_host(wav, sr, self.sample_rate)
+        if not self.cache_waveforms:
+            return wav, ex["speaker_id"]
+        q = np.clip(wav * 32768.0, -32768.0, 32767.0).astype(np.int16)
+        if self._cache_bytes + q.nbytes <= self.cache_budget_mb * (1 << 20):
+            self._wave_cache[idx] = (q, ex["speaker_id"])
+            self._cache_bytes += q.nbytes
+        return q.astype(np.float32) / 32768.0, ex["speaker_id"]
+
+    def _load_one(self, idx: int, rng: np.random.Generator):
+        wav, speaker_id = self._decoded(idx)
         if self.speed.enabled and rng.random() < self.speed.probability:
             if self.speed.continuous:
                 rate = float(
@@ -203,7 +239,7 @@ class DataLoader:
             length = min(length, len(wav))  # chunk longer than utterance
             start = rng.integers(0, len(wav) - length + 1)
             wav = wav[start : start + length]
-        return wav, ex["speaker_id"]
+        return wav, speaker_id
 
     def _apply_reverb(self, wav: np.ndarray, rng: np.random.Generator) -> np.ndarray:
         """Reference reverb semantics (src/transforms.py:276-296): random
