@@ -70,6 +70,10 @@ def bench_tpu(wav: np.ndarray, speakers: np.ndarray) -> float:
         from titanet_tpu.models import get_resnet
 
         model = get_resnet(dtype=dtype)
+    elif bench_model == "conformer":
+        from titanet_tpu.models import get_conformer
+
+        model = get_conformer(dtype=dtype)
     else:
         model = get_titanet(model_size="s", n_mega_blocks=17, dtype=dtype,
                             scan_blocks=scan)
@@ -161,7 +165,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": {"ecapa": "ECAPA-512", "xvector": "x-vector", "resnet": "ResNet34"}.get(os.environ.get("TITANET_BENCH_MODEL", ""), "TitaNet-S") + " train step throughput (wav->grads->update)",
+                "metric": {"ecapa": "ECAPA-512", "xvector": "x-vector", "resnet": "ResNet34", "conformer": "MFA-Conformer"}.get(os.environ.get("TITANET_BENCH_MODEL", ""), "TitaNet-S") + " train step throughput (wav->grads->update)",
                 "value": round(tpu, 1),
                 "unit": "utt/s/chip",
                 "vs_baseline": round(vs, 1) if vs is not None else None,

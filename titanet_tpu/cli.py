@@ -93,6 +93,19 @@ def build_model(cfg: Config, dtype=None):
             embedding_size=cfg.generic.embedding_size,
             dtype=dtype,
         )
+    if cfg.conformer.enabled:
+        from titanet_tpu.models import get_conformer
+
+        return get_conformer(
+            num_blocks=cfg.conformer.num_blocks,
+            dim=cfg.conformer.dim,
+            num_heads=cfg.conformer.num_heads,
+            ff_hidden=cfg.conformer.ff_hidden,
+            conv_kernel=cfg.conformer.conv_kernel,
+            dropout=cfg.conformer.dropout,
+            embedding_size=cfg.generic.embedding_size,
+            dtype=dtype,
+        )
     return get_titanet(
         embedding_size=cfg.generic.embedding_size,
         n_mels=cfg.audio.spectrogram.n_mels,

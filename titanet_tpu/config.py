@@ -244,6 +244,21 @@ class XvectorConfig:
 
 @_register
 @dataclass
+class ConformerConfig:
+    # MFA-Conformer (arXiv:2203.15249) — fifth model family, the
+    # attention-based archetype (beyond the reference). Defaults are the
+    # paper's ~20M "Conformer (small)" scale.
+    enabled: bool = False
+    num_blocks: int = 6
+    dim: int = 256
+    num_heads: int = 4
+    ff_hidden: int = 2048
+    conv_kernel: int = 15
+    dropout: float = 0.1
+
+
+@_register
+@dataclass
 class DistillConfig:
     # Embedding-space knowledge distillation (beyond the reference): the
     # student trains with (1-alpha)*head_loss + alpha*(1 - cos(student_emb,
@@ -401,6 +416,7 @@ class Config:
     ecapa: "EcapaConfig" = field(default_factory=EcapaConfig)
     xvector: "XvectorConfig" = field(default_factory=XvectorConfig)
     resnet: "ResnetConfig" = field(default_factory=ResnetConfig)
+    conformer: "ConformerConfig" = field(default_factory=ConformerConfig)
     distill: "DistillConfig" = field(default_factory=DistillConfig)
     wandb: "WandbConfig" = field(default_factory=WandbConfig)
     generic: "GenericConfig" = field(default_factory=GenericConfig)

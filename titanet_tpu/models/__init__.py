@@ -1,5 +1,5 @@
 """Model zoo: TitaNet S/M/L, ECAPA-TDNN, x-vector TDNN, ResNet r-vector,
-d-vector LSTM baseline, smoke-test convnet."""
+MFA-Conformer, d-vector LSTM baseline, smoke-test convnet."""
 
 import jax.numpy as jnp
 
@@ -18,6 +18,10 @@ from titanet_tpu.models.xvector import (  # noqa: F401
 from titanet_tpu.models.resnet import (  # noqa: F401
     SpeakerResNet,
     get_resnet,
+)
+from titanet_tpu.models.conformer import (  # noqa: F401
+    MfaConformer,
+    get_conformer,
 )
 from titanet_tpu.models.quantized import (  # noqa: F401
     QuantTitaNet,
