@@ -169,6 +169,13 @@ def _bench17(seed):
 
 RUNS += [_bench17(s) for s in (42, 43, 44)]
 
+# fifth model family: MFA-Conformer (attention archetype), same CE protocol
+RUNS += [
+    (f"bench18_conformer_seed{s}",
+     {"training.loss": "ce", "generic.seed": s, "conformer.enabled": True})
+    for s in (42, 43, 44)
+]
+
 
 LEDGER_PATH = os.path.join(OUT_DIR, "ledger.json")
 

@@ -527,7 +527,7 @@ print("int8 vs f32 embedding cosine (min):", float(np.asarray(cos).min()))"""),
 ## 12. The model zoo beyond the reference
 
 The reference ships TitaNet + a d-vector baseline. This package adds the
-three other canonical speaker-embedder archetypes, all built from the
+four other canonical speaker-embedder archetypes, all built from the
 shared op set so every step/loop/CLI path drives them unchanged:
 
 - **ECAPA-TDNN** (arXiv:2005.07143, `ecapa: {enabled: true}`):
@@ -539,9 +539,14 @@ shared op set so every step/loop/CLI path drives them unchanged:
   (bench14); the speed end of the frontier.
 - **ResNet34 r-vector** (arXiv:1910.12592, `resnet: {enabled: true}`):
   2D convs over the mel map as an image; the quality-oriented family
-  (bench15), ~4x TitaNet-S FLOPs."""),
+  (bench15), ~4x TitaNet-S FLOPs.
+- **MFA-Conformer** (arXiv:2203.15249, `conformer: {enabled: true}`):
+  the attention archetype — Conformer blocks with Transformer-XL
+  relative-position MHSA (gather-free skew) + multi-layer feature
+  aggregation; ~20M params at paper scale (bench18)."""),
     ("code", """\
-from titanet_tpu.models import get_ecapa, get_resnet, get_xvector
+from titanet_tpu.models import (get_conformer, get_ecapa, get_resnet,
+                                get_xvector)
 
 ecapa = get_ecapa(channels=128 if FAST else 256)
 e_state = create_train_state(jax.random.key(3), ecapa, head, opt,
@@ -554,7 +559,9 @@ print("ecapa epoch-1:", {k: round(v, 3) for k, v in e_metrics.items()
     ("code", """\
 # the whole zoo answers the same (mel -> [B, E]) contract
 for name, m in [("xvector", get_xvector(hidden_size=64, frame_out=128)),
-                ("resnet18", get_resnet(depth=18, base_channels=8))]:
+                ("resnet18", get_resnet(depth=18, base_channels=8)),
+                ("conformer", get_conformer(num_blocks=2, dim=64,
+                                            ff_hidden=128))]:
     vz = jax.jit(m.init)(jax.random.key(0), jnp.zeros((2, 151, 80)))
     nz = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(vz["params"]))
     ez = jax.jit(lambda v, x: m.apply(v, x, train=False))(
