@@ -176,6 +176,16 @@ RUNS += [
     for s in (42, 43, 44)
 ]
 
+# device-side additive-noise augmentation (beyond the reference): CE +
+# chunk+specaugment+noise at SNR 5-20 dB — does robustness training help
+# on a corpus whose test utterances carry noise + reverb?
+RUNS += [
+    (f"bench19_ce_noise_seed{s}",
+     {"training.loss": "ce", "generic.seed": s,
+      "augmentation.enable": ["chunk", "specaugment", "noise"]})
+    for s in (42, 43, 44)
+]
+
 
 LEDGER_PATH = os.path.join(OUT_DIR, "ledger.json")
 
@@ -336,6 +346,7 @@ def main():
         "bench16": "Arc + 15-epoch margin warmup (TitaNet-S)",
         "bench17": "CE x-vector + TitaNet distillation (alpha=0.5)",
         "bench18": "CE (MFA-Conformer, paper ~20M scale)",
+        "bench19": "CE + additive-noise augmentation (TitaNet-S)",
     }
     for prefix, label in names.items():
         be, bd = band(prefix, "eer"), band(prefix, "mindcf")
@@ -428,6 +439,18 @@ def main():
             f"reaches the TitaNet-S CE band ({ce[0]:.3f} ± {ce[1]:.3f}) "
             "with a frozen teacher and alpha=0.5 cosine-embedding loss: "
             "train cheap models at flagship quality, serve at 88.5k utt/s."
+        )
+    noisy = band("bench19")
+    if noisy and ce:
+        within = abs(noisy[0] - ce[0]) <= 2.0 * (max(ce[1], 1e-9) + max(noisy[1], 1e-9))
+        better = noisy[0] < ce[0]
+        lines.append(
+            f"- CE + noise augmentation (bench19) vs plain CE (bench2): EER "
+            f"{noisy[0]:.3f} ± {noisy[1]:.3f} vs {ce[0]:.3f} ± {ce[1]:.3f} — "
+            + ("IMPROVES the band" if better and not within else
+               ("within band" if within else "DEGRADES the band"))
+            + " (test utterances carry additive noise 0.05 + reverb p=0.5, "
+            "so SNR-randomized training noise targets the test conditions)."
         )
     if conf and ce:
         lines.append(

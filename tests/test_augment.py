@@ -242,3 +242,83 @@ def test_train_step_with_augment_config():
     )
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+
+def test_add_noise_snr_exact():
+    from titanet_tpu.ops.augment import add_noise
+
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((4, 16000)) * 0.3, jnp.float32)
+    out = add_noise(jax.random.key(1), wav, probability=1.0,
+                    snr_min=10.0, snr_max=10.0)
+    noise = np.asarray(out) - np.asarray(wav)
+    snr_db = 10 * np.log10(
+        np.mean(np.square(np.asarray(wav)), -1) / np.mean(np.square(noise), -1)
+    )
+    np.testing.assert_allclose(snr_db, 10.0, atol=1e-3)
+
+
+def test_add_noise_gate_and_padding():
+    from titanet_tpu.ops.augment import add_noise
+
+    rng = np.random.default_rng(1)
+    wav = jnp.asarray(rng.standard_normal((2, 8000)) * 0.2, jnp.float32)
+    # probability 0 -> identity
+    out = add_noise(jax.random.key(0), wav, probability=0.0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(wav))
+    # padded samples stay exactly zero
+    lengths = jnp.asarray([5000, 8000], jnp.int32)
+    wav_pad = np.asarray(wav).copy()
+    wav_pad[0, 5000:] = 0.0
+    out = add_noise(jax.random.key(2), jnp.asarray(wav_pad), lengths,
+                    probability=1.0, snr_min=5.0, snr_max=20.0)
+    assert np.all(np.asarray(out)[0, 5000:] == 0.0)
+    assert not np.allclose(np.asarray(out)[0, :5000], wav_pad[0, :5000])
+
+
+def test_add_noise_pink_spectrum():
+    from titanet_tpu.ops.augment import add_noise
+
+    wav = jnp.zeros((1, 16384), jnp.float32).at[:, 0].set(1.0)  # unit power ref
+    out = add_noise(jax.random.key(3), wav, probability=1.0,
+                    snr_min=0.0, snr_max=0.0, color="pink")
+    noise = np.asarray(out) - np.asarray(wav)
+    spec = np.abs(np.fft.rfft(noise[0])) ** 2
+    lo = spec[1:100].mean()
+    hi = spec[-100:].mean()
+    assert lo > 10 * hi  # 1/f power: low band dominates
+
+
+def test_train_step_with_noise_augmentation():
+    from titanet_tpu.losses.heads import build_head
+    from titanet_tpu.models import get_xvector
+    from titanet_tpu.ops.augment import AugmentConfig
+    from titanet_tpu.ops.frontend import FrontendConfig
+    from titanet_tpu.train import create_train_state, make_optimizer
+    from titanet_tpu.train.state import train_step
+
+    model = get_xvector(hidden_size=32, frame_out=64)
+    head = build_head("ce", 192, 4)
+    opt = make_optimizer(start_lr=1e-3)
+    frontend = FrontendConfig.from_ms()
+    state = create_train_state(
+        jax.random.key(0), model, head, opt, jnp.zeros((2, 101, 80)), 4
+    )
+    wav = jnp.asarray(
+        np.random.default_rng(4).standard_normal((4, 16000)) * 0.1, jnp.float32
+    )
+    spk = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    # noise-only config (specaugment disabled)
+    aug = AugmentConfig(specaugment=False, noise_prob=1.0)
+    state, metrics = train_step(
+        state, wav, None, spk, model=model, head=head, optimizer=opt,
+        frontend=frontend, augment=aug,
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    # noise + specaugment together
+    aug2 = AugmentConfig(noise_prob=0.5)
+    state, metrics = train_step(
+        state, wav, None, spk, model=model, head=head, optimizer=opt,
+        frontend=frontend, augment=aug2,
+    )
+    assert np.isfinite(float(metrics["loss"]))

@@ -345,18 +345,29 @@ def train(cfg: Config) -> None:
     sharding = batch_sharding(mesh, cfg.mesh.data_axis) if mesh.size > 1 else None
 
     augment = None
-    if "specaugment" in (cfg.augmentation.enable or []):
+    enabled_on_device = cfg.augmentation.enable or []
+    if "specaugment" in enabled_on_device or "noise" in enabled_on_device:
         # reference semantics (src/transforms.py:58-72): specaugment =
-        # gated time stretch at speed.min..max + freq/time masking
+        # gated time stretch at speed.min..max + freq/time masking;
+        # "noise" (beyond the reference) adds device-side gated additive
+        # noise at a random SNR before the frontend
         from titanet_tpu.ops.augment import AugmentConfig
 
         sa = cfg.augmentation.specaugment
+        no = cfg.augmentation.noise
         augment = AugmentConfig(
             min_rate=cfg.augmentation.speed.min,
             max_rate=cfg.augmentation.speed.max,
             freq_mask_ratio=sa.freq_mask_ratio, freq_mask_num=sa.freq_mask_num,
             time_mask_ratio=sa.time_mask_ratio, time_mask_num=sa.time_mask_num,
             probability=cfg.augmentation.probability,
+            specaugment="specaugment" in enabled_on_device,
+            noise_prob=(
+                cfg.augmentation.probability
+                if "noise" in enabled_on_device else 0.0
+            ),
+            noise_snr_min=no.snr_min, noise_snr_max=no.snr_max,
+            noise_color=no.color,
         )
 
     run_name = cfg.training.run_name

@@ -382,6 +382,19 @@ class SpecaugmentConfig:
 
 @_register
 @dataclass
+class NoiseConfig:
+    """Device-side additive noise at a random SNR (enable via
+    ``augmentation.enable: [..., "noise"]``; beyond the reference, which
+    has no noise augmentation). PRNG-synthesized white/pink noise — the
+    zero-egress stand-in for the usual MUSAN mix."""
+
+    snr_min: float = 5.0  # dB
+    snr_max: float = 20.0
+    color: str = "white"  # white | pink
+
+
+@_register
+@dataclass
 class AugmentationConfig:
     probability: float = 0.5
     enable: List[str] = field(default_factory=lambda: ["chunk"])
@@ -389,6 +402,7 @@ class AugmentationConfig:
     chunk: "ChunkConfig" = field(default_factory=ChunkConfig)
     speed: "SpeedConfig" = field(default_factory=SpeedConfig)
     specaugment: "SpecaugmentConfig" = field(default_factory=SpecaugmentConfig)
+    noise: "NoiseConfig" = field(default_factory=NoiseConfig)
 
 
 @_register

@@ -165,6 +165,16 @@ class AugmentConfig(NamedTuple):
     time_mask_num: int = 1
     probability: float = 1.0
     time_stretch: bool = True
+    # False = skip the stretch+masking path entirely (noise-only configs)
+    specaugment: bool = True
+    # additive noise at a random SNR (beyond the reference, which has no
+    # noise augmentation; the standard speaker-verification recipe adds
+    # MUSAN noise — with zero egress, PRNG-synthesized white/pink noise is
+    # the in-image equivalent). 0.0 = off.
+    noise_prob: float = 0.0
+    noise_snr_min: float = 5.0  # dB
+    noise_snr_max: float = 20.0  # dB
+    noise_color: str = "white"  # "white" | "pink"
 
 
 def stretch_interp_matrix(n_time: int, rate, dtype=jnp.float32) -> jax.Array:
@@ -380,3 +390,60 @@ def reverb(
     rf = jnp.fft.rfft(rir, n=n)
     full = jnp.fft.irfft(wf * rf, n=n)
     return full[..., :t].astype(waveform.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Additive noise
+# ---------------------------------------------------------------------------
+
+
+def add_noise(
+    key: jax.Array,
+    waveform: jax.Array,
+    lengths: Optional[jax.Array] = None,
+    *,
+    probability: float = 1.0,
+    snr_min: float = 5.0,
+    snr_max: float = 20.0,
+    color: str = "white",
+) -> jax.Array:
+    """Per-example gated additive noise at ``SNR ~ U(snr_min, snr_max)`` dB.
+
+    Beyond the reference (which has no noise augmentation); the standard
+    speaker-verification recipe mixes MUSAN noise/music/babble — with zero
+    egress this is the PRNG-synthesized equivalent: ``white`` Gaussian or
+    ``pink`` (1/f power, shaped in the frequency domain with one batched
+    rFFT). Batched ``[B, T]``, jit-safe, fully on device; noise power is
+    matched to each example's measured power over its VALID samples, and
+    padded samples stay exactly zero so downstream frame masks/statistics
+    are unaffected.
+    """
+    b, t = waveform.shape
+    k_gate, k_snr, k_noise = jax.random.split(key, 3)
+    wf = waveform.astype(jnp.float32)
+    gate = jax.random.uniform(k_gate, (b,)) < probability
+    snr_db = jax.random.uniform(
+        k_snr, (b,), minval=snr_min, maxval=snr_max
+    )
+    noise = jax.random.normal(k_noise, (b, t), jnp.float32)
+    if color == "pink":
+        freqs = jnp.fft.rfftfreq(t)
+        shape = jnp.where(freqs > 0, 1.0 / jnp.sqrt(jnp.maximum(freqs, 1e-12)), 0.0)
+        noise = jnp.fft.irfft(jnp.fft.rfft(noise, axis=-1) * shape, t, axis=-1)
+    elif color != "white":
+        raise ValueError(f"unknown noise color {color!r}")
+    if lengths is not None:
+        valid = (
+            jnp.arange(t)[None, :] < lengths[:, None]
+        ).astype(jnp.float32)
+        n = jnp.maximum(lengths.astype(jnp.float32), 1.0)
+    else:
+        valid = jnp.ones((b, t), jnp.float32)
+        n = jnp.full((b,), float(t), jnp.float32)
+    sig_pow = jnp.sum(jnp.square(wf) * valid, axis=-1) / n
+    noise_pow = jnp.sum(jnp.square(noise) * valid, axis=-1) / n
+    target = sig_pow / jnp.power(10.0, snr_db / 10.0)
+    gain = jnp.sqrt(target / jnp.maximum(noise_pow, 1e-12))
+    gain = jnp.where(gate, gain, 0.0)
+    out = wf + noise * gain[:, None] * valid
+    return out.astype(waveform.dtype)

@@ -183,7 +183,18 @@ def _train_step_impl(
     key, k_aug, k_drop, k_pool = jax.random.split(state.key, 4)
     waveform = _dequantize_waveform(waveform)
     aug = _as_augment_config(augment)
-    if aug is not None:
+    if aug is not None and aug.noise_prob > 0.0:
+        # additive noise at a random SNR (beyond the reference); fold_in
+        # keeps the existing k_aug/k_drop streams byte-identical when
+        # noise is off
+        from titanet_tpu.ops.augment import add_noise
+
+        waveform = add_noise(
+            jax.random.fold_in(k_aug, 1), waveform, lengths,
+            probability=aug.noise_prob, snr_min=aug.noise_snr_min,
+            snr_max=aug.noise_snr_max, color=aug.noise_color,
+        )
+    if aug is not None and aug.specaugment:
         # full reference SpecAugment: per-example gated time stretch on the
         # spectrogram + freq/time masking (src/transforms.py:167-201)
         mel, mask = log_mel_specaugment(k_aug, waveform, frontend, aug, lengths=lengths)
