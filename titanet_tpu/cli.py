@@ -197,9 +197,11 @@ def _cohort_loader(cfg: Config, train_ds):
     (``test.score_norm``): a seeded sample of TRAIN-split utterances (train
     speakers are disjoint from test speakers by the split protocol)."""
     mode = cfg.test.score_norm
-    if mode in (None, "none"):
+    if mode in (None, "none") and not cfg.test.calibration:
         return None, None
-    if mode not in ("snorm", "asnorm"):
+    if mode in (None, "none"):
+        mode = "none_cohort"  # calibration-only: cohort without snorm
+    if mode not in ("snorm", "asnorm", "none_cohort"):
         raise ValueError(
             f"test.score_norm must be 'none', 'snorm' or 'asnorm', got {mode!r}"
         )
@@ -420,6 +422,7 @@ def train(cfg: Config) -> None:
         batch_sharding=sharding,
         cohort_loader=cohort_loader,
         cohort_topk=cohort_topk,
+        calibrate=cfg.test.calibration,
         mindcf_p_target=cfg.test.mindcf_p_target,
         mindcf_c_fa=cfg.test.mindcf_c_fa,
         mindcf_c_miss=cfg.test.mindcf_c_miss,
@@ -505,6 +508,7 @@ def evaluate_checkpoint(cfg: Config, checkpoint_dir: str, epoch: Optional[int] =
         mindcf_c_fa=cfg.test.mindcf_c_fa, mindcf_c_miss=cfg.test.mindcf_c_miss,
         console=ConsoleLogger(enabled=True),
         cohort_loader=cohort_loader, cohort_topk=cohort_topk,
+        calibrate=cfg.test.calibration,
     )
     print(metrics)
     return metrics

@@ -152,6 +152,11 @@ class TestConfig:
     score_norm: str = "none"
     cohort_size: int = 256
     asnorm_topk: int = 100
+    # Logistic LLR calibration fitted on cohort trials (beyond the
+    # reference): reports test/cllr, test/min_cllr, test/act_dcf
+    # (train/calibration.py). Uses the same train-split cohort as
+    # score_norm (built even when score_norm is "none").
+    calibration: bool = False
 
 
 @_register

@@ -276,13 +276,17 @@ def run_verification(
     console: Optional[ConsoleLogger] = None,
     cohort_loader: Optional[DataLoader] = None,
     cohort_topk: Optional[int] = None,
+    calibrate: bool = False,
 ):
     """Batched all-pairs verification (reference test, src/learn.py:409-459).
 
     ``cohort_loader`` (utterances from the TRAIN split) enables S-norm /
     AS-norm score calibration — no reference counterpart; see
     :func:`titanet_tpu.train.metrics.snorm_scores`. ``cohort_topk`` selects
-    the adaptive (AS-norm) variant.
+    the adaptive (AS-norm) variant. ``calibrate`` additionally fits a
+    logistic LLR calibration on the cohort's own all-pairs trials and
+    reports Cllr / min Cllr / actual DCF of the calibrated test scores
+    (:mod:`titanet_tpu.train.calibration`).
     """
     # The verification protocol scores WHOLE utterances (reference embeds
     # each pair member un-cropped, src/learn.py:437); a chunking loader here
@@ -290,9 +294,9 @@ def run_verification(
     embeddings, speakers = _embed_whole_utterances(
         state, loader, model=model, frontend=frontend
     )
-    cohort_embeddings = None
+    cohort_embeddings = cohort_speakers = None
     if cohort_loader is not None:
-        cohort_embeddings, _ = _embed_whole_utterances(
+        cohort_embeddings, cohort_speakers = _embed_whole_utterances(
             state, cohort_loader, model=model, frontend=frontend
         )
     scores, labels = all_pairs_scores_labels(
@@ -304,6 +308,31 @@ def run_verification(
         mindcf_p_target=mindcf_p_target, mindcf_c_fa=mindcf_c_fa,
         mindcf_c_miss=mindcf_c_miss, prefix="test",
     )
+    if calibrate:
+        if cohort_embeddings is None:
+            raise ValueError("calibrate=True requires a cohort_loader "
+                             "(labeled dev trials to fit on)")
+        from titanet_tpu.train.calibration import (
+            LogisticCalibration, actual_dcf, cllr, min_cllr,
+        )
+
+        # dev trials: the cohort's own all-pairs scores, transformed the
+        # same way as the test scores (same snorm/asnorm settings) so the
+        # affine fit transfers
+        dev_scores, dev_labels = all_pairs_scores_labels(
+            cohort_embeddings, cohort_speakers,
+            cohort_embeddings=cohort_embeddings if cohort_topk else None,
+            cohort_topk=cohort_topk,
+        )
+        cal = LogisticCalibration.fit(dev_scores, dev_labels)
+        llrs = cal(scores)
+        metrics["test/cllr"] = cllr(llrs, labels)
+        metrics["test/min_cllr"] = min_cllr(scores, labels)
+        metrics["test/act_dcf"] = actual_dcf(
+            llrs, labels, p_target=mindcf_p_target,
+            c_fa=mindcf_c_fa, c_miss=mindcf_c_miss,
+        )
+        metrics["test/cal_a"], metrics["test/cal_b"] = cal.a, cal.b
     if console:
         console.log_epoch("test", None, None, metrics)
     return metrics
@@ -343,6 +372,7 @@ def training_loop(
     batch_sharding=None,
     cohort_loader: Optional[DataLoader] = None,  # train-split utterances
     cohort_topk: Optional[int] = None,           # for AS-norm test scoring
+    calibrate: bool = False,                     # logistic LLR calibration
     mindcf_p_target: float = 0.01,
     mindcf_c_fa: float = 1.0,
     mindcf_c_miss: float = 1.0,
@@ -452,6 +482,7 @@ def training_loop(
             mindcf_p_target=mindcf_p_target, mindcf_c_fa=mindcf_c_fa,
             mindcf_c_miss=mindcf_c_miss, console=console,
             cohort_loader=cohort_loader, cohort_topk=cohort_topk,
+            calibrate=calibrate,
         )
         jsonl.log(test_metrics, step=epochs)
         import json as _json
