@@ -56,6 +56,12 @@ def build_embedder(args):
         model = get_resnet()
         if args.quantized:
             raise SystemExit("--quantized is TitaNet-only (int8 PTQ tree)")
+    elif args.model_size == "conformer":
+        from titanet_tpu.models import get_conformer
+
+        model = get_conformer()
+        if args.quantized:
+            raise SystemExit("--quantized is TitaNet-only (int8 PTQ tree)")
     else:
         model = get_titanet(model_size=args.model_size)
     mel0, _ = log_mel_spectrogram(jnp.zeros((1, 16000)), cfg)
@@ -137,7 +143,7 @@ def main():
     parser.add_argument("--port", type=int, default=8077)
     parser.add_argument("--model-size", default="s",
                         help="s|m|l (TitaNet), ecapa512|ecapa1024, xvector, "
-                             "or resnet")
+                             "resnet, or conformer")
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--checkpoint-dir", default=None)
     parser.add_argument("--n-classes", type=int, default=251)
