@@ -58,6 +58,10 @@ def build_step(batch, seconds, n_classes, dtype, infer=False):
         from titanet_tpu.models import get_resnet
 
         model = get_resnet(dtype=jnp.dtype(dtype))
+    elif bench_model == "conformer":
+        from titanet_tpu.models import get_conformer
+
+        model = get_conformer(dtype=jnp.dtype(dtype))
     else:
         model = get_titanet(
             model_size="s", n_mega_blocks=17, dtype=jnp.dtype(dtype),

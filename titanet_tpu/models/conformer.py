@@ -48,7 +48,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from titanet_tpu.ops.conv import torch_conv_init
-from titanet_tpu.ops.norm import BatchNorm
+from titanet_tpu.ops.norm import BatchNorm, FastDropout
 from titanet_tpu.ops.pooling import AttentiveStatsPooling
 
 
@@ -209,7 +209,7 @@ class ConformerBlock(nn.Module):
                      kernel_init=torch_conv_init(d),
                      bias_init=torch_conv_init(d), **dense)(x)
         x = _swish(x)
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = FastDropout(self.dropout, deterministic=not train)(x)
         return nn.Dense(d, name=f"{name}_out",
                         kernel_init=torch_conv_init(self.ff_hidden),
                         bias_init=torch_conv_init(self.ff_hidden), **dense)(x)
@@ -221,7 +221,9 @@ class ConformerBlock(nn.Module):
         d = x.shape[-1]
         dt = self.dtype or jnp.result_type(x.dtype, self.param_dtype)
         ln = dict(dtype=dt, param_dtype=self.param_dtype)
-        drop = lambda y: nn.Dropout(self.dropout, deterministic=not train)(y)  # noqa: E731
+        # FastDropout: raw-PRNG-bit masks (distributionally identical to
+        # nn.Dropout; shared house op — see ops/norm.py)
+        drop = lambda y: FastDropout(self.dropout, deterministic=not train)(y)  # noqa: E731
 
         x = x + 0.5 * drop(self._ffn(nn.LayerNorm(name="ln_ff1", **ln)(x), d, train, "ff1"))
         x = x + drop(
