@@ -1,12 +1,17 @@
-"""Minimal embedding service: HTTP POST WAV bytes -> JSON embedding.
+"""Minimal speaker service: embed / enroll / verify / identify over HTTP.
 
 Production-serving demo on top of :class:`titanet_tpu.train.extractor
-.SpeakerEmbedder` (bucketed batching, warmup-precompiled executables).
-stdlib-only server; for real deployments put the same embedder behind your
-serving stack or use the AOT export (titanet_tpu.utils.export).
+.SpeakerEmbedder` (bucketed batching, warmup-precompiled executables) and
+:class:`titanet_tpu.train.enroll.SpeakerRegistry` (profiles, open-set
+decisions, optional calibrated-LLR thresholds). stdlib-only server; for
+real deployments put the same embedder behind your serving stack or use
+the AOT export (titanet_tpu.utils.export).
 
     python examples/serve.py [--port 8077] [--checkpoint-dir ...] &
     curl -s --data-binary @utt.wav http://127.0.0.1:8077/embed | head -c 200
+    curl -s --data-binary @utt.wav 'http://127.0.0.1:8077/enroll?name=ada'
+    curl -s --data-binary @utt2.wav 'http://127.0.0.1:8077/verify?name=ada'
+    curl -s --data-binary @utt2.wav http://127.0.0.1:8077/identify
 """
 
 import argparse
@@ -95,42 +100,70 @@ def build_embedder(args):
     return emb
 
 
-def make_handler(embedder, sample_rate=16000):
+def make_handler(embedder, registry=None, sample_rate=16000,
+                 registry_path=None):
+    from urllib.parse import parse_qs, urlparse
+
     from titanet_tpu.data.audio_io import read_wav
 
     class Handler(BaseHTTPRequestHandler):
-        def do_POST(self):
-            if self.path != "/embed":
-                self.send_error(404)
-                return
+        def _embed_body(self):
+            import tempfile
+
             n = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(n)
+            with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+                f.write(body)
+                f.flush()
+                wav, sr = read_wav(f.name)
+            if sr != sample_rate:
+                from titanet_tpu.data.loader import _resample_host
+
+                wav = _resample_host(wav[0], sr, sample_rate)[None]
+            return embedder.embed([wav[0]])[0]
+
+        def _reply(self, code, obj):
+            payload = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            route = url.path
+            qs = parse_qs(url.query)
+            if route not in ("/embed", "/enroll", "/verify", "/identify"):
+                self.send_error(404)
+                return
             try:
-                import tempfile
-
-                with tempfile.NamedTemporaryFile(suffix=".wav") as f:
-                    f.write(body)
-                    f.flush()
-                    wav, sr = read_wav(f.name)
-                if sr != sample_rate:
-                    from titanet_tpu.data.loader import _resample_host
-
-                    wav = _resample_host(wav[0], sr, sample_rate)[None]
-                vec = embedder.embed([wav[0]])[0]
-                payload = json.dumps(
-                    {"embedding": vec.tolist(), "dim": len(vec)}
-                ).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(payload)))
-                self.end_headers()
-                self.wfile.write(payload)
+                vec = self._embed_body()
+                if route == "/embed":
+                    self._reply(200, {"embedding": vec.tolist(),
+                                      "dim": len(vec)})
+                    return
+                if registry is None:
+                    raise ValueError("no registry on this server")
+                if route == "/enroll":
+                    name = qs["name"][0]
+                    registry.enroll(name, vec)
+                    if registry_path:
+                        registry.save(registry_path)
+                    self._reply(200, {"enrolled": name,
+                                      "speakers": registry.speakers})
+                elif route == "/verify":
+                    name = qs["name"][0]
+                    accept, score = registry.verify(name, vec)
+                    self._reply(200, {"speaker": name, "accept": accept,
+                                      "score": score})
+                else:  # /identify
+                    top = registry.identify(vec, top_k=3)[0]
+                    self._reply(200, {"candidates": [
+                        {"speaker": s, "score": sc} for s, sc in top
+                    ]})
             except Exception as e:  # malformed input -> 400, never crash
-                msg = json.dumps({"error": str(e)}).encode()
-                self.send_response(400)
-                self.send_header("Content-Length", str(len(msg)))
-                self.end_headers()
-                self.wfile.write(msg)
+                self._reply(400, {"error": str(e)})
 
         def log_message(self, *a):  # quiet
             pass
@@ -154,10 +187,26 @@ def main():
     parser.add_argument("--ema", action="store_true",
                         help="serve EMA weights from an EMA-trained "
                              "checkpoint (training.ema_decay > 0)")
+    parser.add_argument("--registry", default=None,
+                        help="JSON path for the speaker registry "
+                             "(loaded if present, saved after each enroll)")
+    parser.add_argument("--threshold", type=float, default=0.5,
+                        help="accept threshold (raw cosine; an LLR floor "
+                             "when the loaded registry carries calibration)")
     args = parser.parse_args()
     embedder = build_embedder(args)
-    server = HTTPServer(("127.0.0.1", args.port), make_handler(embedder))
-    print(f"embedding service on http://127.0.0.1:{args.port}/embed")
+    from titanet_tpu.train.enroll import SpeakerRegistry
+
+    if args.registry and os.path.exists(args.registry):
+        registry = SpeakerRegistry.load(args.registry)
+    else:
+        registry = SpeakerRegistry(threshold=args.threshold)
+    server = HTTPServer(
+        ("127.0.0.1", args.port),
+        make_handler(embedder, registry, registry_path=args.registry),
+    )
+    print(f"speaker service on http://127.0.0.1:{args.port}"
+          f"/{{embed,enroll,verify,identify}}")
     server.serve_forever()
 
 
