@@ -24,7 +24,7 @@ import time
 
 import numpy as np
 
-B = 128
+B = int(os.environ.get("TITANET_BENCH_BATCH", "128"))
 B_CPU = 16
 T_SECONDS = 3.0
 SR = 16000
