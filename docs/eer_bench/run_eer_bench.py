@@ -176,6 +176,16 @@ RUNS += [
     for s in (42, 43, 44)
 ]
 
+# sub-center ArcFace (Deng et al., ECCV 2020): K=3 prototype columns per
+# class — does absorbing intra-class variance (per-utterance reverb/noise)
+# into sub-centers help the margin objective here?
+RUNS += [
+    (f"bench20_arc_subcenter_seed{s}",
+     {"training.loss": "arc", "generic.seed": s,
+      "loss.arc.sub_centers": 3})
+    for s in (42, 43, 44)
+]
+
 # device-side additive-noise augmentation (beyond the reference): CE +
 # chunk+specaugment+noise at SNR 5-20 dB — does robustness training help
 # on a corpus whose test utterances carry noise + reverb?
@@ -347,6 +357,7 @@ def main():
         "bench17": "CE x-vector + TitaNet distillation (alpha=0.5)",
         "bench18": "CE (MFA-Conformer, paper ~20M scale)",
         "bench19": "CE + additive-noise augmentation (TitaNet-S)",
+        "bench20": "Arc + 3 sub-centers (TitaNet-S)",
     }
     for prefix, label in names.items():
         be, bd = band(prefix, "eer"), band(prefix, "mindcf")
@@ -439,6 +450,17 @@ def main():
             f"reaches the TitaNet-S CE band ({ce[0]:.3f} ± {ce[1]:.3f}) "
             "with a frozen teacher and alpha=0.5 cosine-embedding loss: "
             "train cheap models at flagship quality, serve at 88.5k utt/s."
+        )
+    subc = band("bench20")
+    if subc and arc:
+        within = abs(subc[0] - arc[0]) <= 2.0 * (max(arc[1], 1e-9) + max(subc[1], 1e-9))
+        lines.append(
+            f"- Arc + 3 sub-centers (bench20) vs plain Arc (bench3): EER "
+            f"{subc[0]:.3f} ± {subc[1]:.3f} vs {arc[0]:.3f} ± {arc[1]:.3f} — "
+            + ("within band" if within else
+               ("IMPROVES the band" if subc[0] < arc[0] else "DEGRADES the band"))
+            + " (sub-centers target label noise / intra-class variance; the "
+            "hard corpus has per-utterance reverb+noise but clean labels)."
         )
     noisy = band("bench19")
     if noisy and ce:

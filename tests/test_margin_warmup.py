@@ -96,3 +96,76 @@ def test_cli_margin_warmup_steps():
         "loss": {"arc": {"margin_warmup_epochs": 5}},
     })
     assert _margin_warmup_steps(cfg3, steps_per_epoch=7) is None
+
+
+def test_sub_centers_one_is_bit_identical():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from titanet_tpu.losses.heads import build_head
+
+    rng = np.random.default_rng(0)
+    emb = jnp.asarray(rng.standard_normal((8, 192)), jnp.float32)
+    tgt = jnp.asarray(rng.integers(0, 5, 8), jnp.int32)
+    plain = build_head("arc", 192, 5)
+    k1 = build_head("arc", 192, 5, sub_centers=1)
+    vp = plain.init(jax.random.key(0), emb, tgt)
+    v1 = k1.init(jax.random.key(0), emb, tgt)
+    np.testing.assert_array_equal(
+        np.asarray(vp["params"]["weight"]), np.asarray(v1["params"]["weight"])
+    )
+    _, _, lp = plain.apply(vp, emb, tgt)
+    _, _, l1 = k1.apply(v1, emb, tgt)
+    assert float(lp) == float(l1)
+
+
+def test_sub_centers_max_selects_best_prototype():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from titanet_tpu.losses.heads import build_head, head_param_count
+
+    n_classes, k, e = 3, 2, 8
+    head = build_head("cos", e, n_classes, sub_centers=k)
+    emb = jnp.eye(e)[:1]  # unit vector along dim 0
+    tgt = jnp.zeros((1,), jnp.int32)
+    v = head.init(jax.random.key(0), emb, tgt)
+    assert v["params"]["weight"].shape == (e, n_classes * k)
+    assert head_param_count("cos", e, n_classes, sub_centers=k) == e * n_classes * k
+    # class 0: sub-center 0 orthogonal, sub-center 1 aligned -> max picks 1
+    w = np.zeros((e, n_classes * k), np.float32)
+    w[1, 0] = 1.0  # class 0 / sub 0: orthogonal to emb
+    w[0, 1] = 1.0  # class 0 / sub 1: aligned
+    w[2, 2:] = 1.0  # other classes: orthogonal
+    norm_emb, preds, loss = head.apply({"params": {"weight": jnp.asarray(w)}}, emb, tgt)
+    assert int(preds[0]) == 0  # aligned sub-center won the class cosine
+    assert np.isfinite(float(loss))
+
+
+def test_sub_centers_trains_end_to_end():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from titanet_tpu.losses.heads import build_head
+    from titanet_tpu.models import get_xvector
+    from titanet_tpu.ops.frontend import FrontendConfig
+    from titanet_tpu.train import create_train_state, make_optimizer
+    from titanet_tpu.train.state import train_step
+
+    model = get_xvector(hidden_size=32, frame_out=64)
+    head = build_head("arc", 192, 4, sub_centers=3)
+    opt = make_optimizer(start_lr=1e-3)
+    state = create_train_state(
+        jax.random.key(0), model, head, opt, jnp.zeros((2, 101, 80)), 4
+    )
+    wav = jnp.asarray(
+        np.random.default_rng(5).standard_normal((4, 16000)) * 0.1, jnp.float32
+    )
+    state, metrics = train_step(
+        state, wav, None, jnp.arange(4), model=model, head=head,
+        optimizer=opt, frontend=FrontendConfig.from_ms(), renorm_head=True,
+    )
+    assert np.isfinite(float(metrics["loss"]))

@@ -169,11 +169,14 @@ def build_head_from_config(cfg: Config, n_speakers: int):
     loss_name = cfg.training.loss
     kwargs = {}
     if loss_name == "sphere":
-        kwargs = dict(margin=cfg.loss.sphere.margin, scale=cfg.loss.sphere.scale)
+        kwargs = dict(margin=cfg.loss.sphere.margin, scale=cfg.loss.sphere.scale,
+                      sub_centers=cfg.loss.sphere.sub_centers)
     elif loss_name == "cos":
-        kwargs = dict(margin=cfg.loss.cos.margin, scale=cfg.loss.cos.scale)
+        kwargs = dict(margin=cfg.loss.cos.margin, scale=cfg.loss.cos.scale,
+                      sub_centers=cfg.loss.cos.sub_centers)
     elif loss_name == "arc":
-        kwargs = dict(margin=cfg.loss.arc.margin, scale=cfg.loss.arc.scale)
+        kwargs = dict(margin=cfg.loss.arc.margin, scale=cfg.loss.arc.scale,
+                      sub_centers=cfg.loss.arc.sub_centers)
     return build_head(loss_name, cfg.generic.embedding_size, n_speakers, **kwargs)
 
 

@@ -168,6 +168,9 @@ class SphereLossConfig:
     # margin warmup stabilizes angular-margin training (TPU addition,
     # absent in the reference)
     margin_warmup_epochs: int = 0
+    # K > 1: Sub-center variant (Deng et al., ECCV 2020) — per-class
+    # cosine is the max over K prototype columns (TPU addition)
+    sub_centers: int = 1
 
 
 @_register
@@ -176,6 +179,7 @@ class CosLossConfig:
     margin: float = 0.2
     scale: float = 64.0
     margin_warmup_epochs: int = 0  # see SphereLossConfig
+    sub_centers: int = 1  # see SphereLossConfig
 
 
 @_register
@@ -184,6 +188,7 @@ class ArcLossConfig:
     margin: float = 0.2
     scale: float = 30.0
     margin_warmup_epochs: int = 0  # see SphereLossConfig
+    sub_centers: int = 1  # see SphereLossConfig
 
 
 @_register

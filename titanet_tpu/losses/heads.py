@@ -70,6 +70,13 @@ class AngularMarginHead(nn.Module):
     stays finite (SURVEY.md §7 hard part 6); ``stable=False`` reproduces the
     reference clamp to exactly [-1, 1].
 
+    ``sub_centers`` (K > 1) is the Sub-center ArcFace variant (Deng et
+    al., ECCV 2020): K prototype columns per class, per-class cosine =
+    max over the class's K sub-centers — robust to intra-class variance
+    and label noise at real-corpus scale. K=1 (default) is bit-identical
+    to the plain head (same weight shape, same math). Inference/embedding
+    paths are untouched — sub-centers exist only inside the train head.
+
     ``margin_scale`` (a traced scalar in [0, 1], optional) scales every
     margin toward its identity value — ``m1 -> 1 + s*(m1-1)``,
     ``m2 -> s*m2``, ``m3 -> s*m3`` — so the train step can ramp the margin
@@ -89,6 +96,7 @@ class AngularMarginHead(nn.Module):
     m3: float = 0.0
     eps: float = 1e-6
     stable: bool = True
+    sub_centers: int = 1
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -101,7 +109,7 @@ class AngularMarginHead(nn.Module):
         weight = self.param(
             "weight",
             torch_conv_init(self.embedding_size),
-            (self.embedding_size, self.n_classes),
+            (self.embedding_size, self.n_classes * self.sub_centers),
             self.param_dtype,
         )
         emb32 = embeddings.astype(jnp.float32)
@@ -110,6 +118,11 @@ class AngularMarginHead(nn.Module):
         w = _l2_normalize(weight.astype(jnp.float32), axis=0)
         lim = 1.0 - 1e-7 if self.stable else 1.0
         cosines = jnp.clip(normalized @ w, -lim, lim)
+        if self.sub_centers > 1:
+            # per-class cosine = max over the class's K sub-centers
+            cosines = jnp.max(
+                cosines.reshape(-1, self.n_classes, self.sub_centers), axis=-1
+            )
         preds = jnp.argmax(cosines, axis=-1)
 
         scales = (
@@ -235,13 +248,14 @@ class GE2EHead(nn.Module):
         return _l2_normalize(embeddings), None, loss
 
 
-def head_param_count(loss_name: str, embedding_size: int, n_classes: int) -> int:
+def head_param_count(loss_name: str, embedding_size: int, n_classes: int,
+                     sub_centers: int = 1) -> int:
     """Parameter count contributed by each head (for find_n_mega_blocks
     parity with the reference, which counted loss params in the model)."""
     if loss_name == "ce":
         return embedding_size * n_classes + n_classes
     if loss_name in ("sphere", "cos", "arc"):
-        return embedding_size * n_classes
+        return embedding_size * n_classes * sub_centers
     if loss_name == "ge2e":
         return 2
     raise ValueError(loss_name)
