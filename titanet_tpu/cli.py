@@ -195,6 +195,35 @@ def _synthetic_kwargs(cfg: Config) -> dict:
     )
 
 
+def _noise_mix_config(cfg: Config):
+    """``augmentation.noise.source: files`` -> host-side real-noise mixing
+    (MUSAN-style) for the TRAIN loader; None otherwise (the synthetic
+    device-side path handles ``source: synthetic``)."""
+    no = cfg.augmentation.noise
+    if "noise" not in (cfg.augmentation.enable or []) or no.source != "files":
+        return None
+    from pathlib import Path
+
+    from titanet_tpu.data import NoiseMixConfig
+
+    root = no.corpora_path
+    paths = tuple(str(p) for p in Path(root).rglob("*.wav"))
+    if not paths and no.download:
+        from titanet_tpu.data.acquire import fetch_musan
+
+        fetch_musan(root, subset="noise")
+        paths = tuple(str(p) for p in Path(root).rglob("*.wav"))
+    if not paths:
+        raise FileNotFoundError(
+            f"augmentation.noise.source=files but no wavs under {root!r} "
+            "(set augmentation.noise.download: true to fetch MUSAN)"
+        )
+    return NoiseMixConfig(
+        paths=paths, probability=cfg.augmentation.probability,
+        snr_min=no.snr_min, snr_max=no.snr_max, enabled=True,
+    )
+
+
 def _cohort_loader(cfg: Config, train_ds):
     """Cohort loader for test-time S-norm/AS-norm score calibration
     (``test.score_norm``): a seeded sample of TRAIN-split utterances (train
@@ -292,9 +321,11 @@ def train(cfg: Config) -> None:
         cache_waveforms=cfg.generic.cache_waveforms,
         cache_budget_mb=cfg.generic.cache_budget_mb,
     )
+    noise_mix = _noise_mix_config(cfg)
     train_loader = DataLoader(
         train_ds, batch_size=cfg.training.batch_size, shuffle=True,
-        chunk=chunk, speed=speed, reverb=reverb, balanced=balanced,
+        chunk=chunk, speed=speed, reverb=reverb, noise=noise_mix,
+        balanced=balanced,
         sample_rate=cfg.audio.sample_rate, seed=cfg.generic.seed,
         num_workers=max(cfg.generic.workers, 0),
         transport_dtype=cfg.training.transport_dtype,
@@ -369,7 +400,8 @@ def train(cfg: Config) -> None:
             specaugment="specaugment" in enabled_on_device,
             noise_prob=(
                 cfg.augmentation.probability
-                if "noise" in enabled_on_device else 0.0
+                if "noise" in enabled_on_device and noise_mix is None
+                else 0.0
             ),
             noise_snr_min=no.snr_min, noise_snr_max=no.snr_max,
             noise_color=no.color,

@@ -400,7 +400,13 @@ class NoiseConfig:
 
     snr_min: float = 5.0  # dB
     snr_max: float = 20.0
-    color: str = "white"  # white | pink
+    color: str = "white"  # white | pink (synthetic source)
+    # "synthetic": device-side PRNG noise inside the jitted step;
+    # "files": host-side mixing of real recordings (MUSAN-style) from
+    # corpora_path (auto-fetched from OpenSLR-17 when download=true)
+    source: str = "synthetic"
+    corpora_path: str = "./data/musan"
+    download: bool = False
 
 
 @_register

@@ -15,6 +15,7 @@ from titanet_tpu.data.loader import (  # noqa: F401
     Batch,
     ChunkConfig,
     DataLoader,
+    NoiseMixConfig,
     ReverbConfig,
     SpeedConfig,
     device_prefetch,

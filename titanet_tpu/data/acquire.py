@@ -34,6 +34,7 @@ VCTK_URL = (
     "https://datashare.ed.ac.uk/bitstream/handle/10283/3443/VCTK-Corpus-0.92.zip"
 )
 RIR_CORPORA_URL = "https://www.openslr.org/resources/28/rirs_noises.zip"
+MUSAN_URL = "https://www.openslr.org/resources/17/musan.tar.gz"
 
 # Multi-part VoxCeleb2 archive layout (reference _ARCHIVE_CONFIGS,
 # src/datasets.py:415-434). URLs/credentials change over time, so they are
@@ -111,6 +112,30 @@ def fetch_rir_corpus(
     extract_archive(archive, rir_corpora_path)
     os.remove(archive)
     return rir_corpora_path
+
+
+def fetch_musan(
+    musan_path: str,
+    source_url: Optional[str] = None,
+    subset: Optional[str] = None,
+    progress: bool = True,
+) -> str:
+    """Download + extract the MUSAN corpus (OpenSLR-17: music, speech and
+    noise recordings — the standard additive-noise augmentation source for
+    speaker systems; the reference has no noise augmentation at all).
+    ``subset`` limits the returned glob root to ``musan/{noise|music|
+    speech}``. Returns the directory to glob for wavs."""
+    target = os.path.join(musan_path, "musan")
+    sub = os.path.join(target, subset) if subset else target
+    if list(Path(sub if os.path.isdir(sub) else target).rglob("*.wav")):
+        return sub
+    os.makedirs(musan_path, exist_ok=True)
+    url = source_url or MUSAN_URL
+    archive = os.path.join(musan_path, os.path.basename(url.split("?")[0]))
+    download_url_to_file(url, archive, progress=progress)
+    extract_archive(archive, musan_path)
+    os.remove(archive)
+    return sub
 
 
 def _ffmpeg_transcode(src: str, dst: str, sample_rate: int) -> None:

@@ -75,6 +75,23 @@ class SpeedConfig:
 
 
 @dataclass
+class NoiseMixConfig:
+    """Host-side real-noise mixing at a random SNR (MUSAN-style; the
+    standard speaker-augmentation recipe — the reference has none). A
+    random file from ``paths`` is looped/cropped to the utterance length
+    and added at ``SNR ~ U(snr_min, snr_max)`` dB of the utterance's own
+    power. The device-side synthetic variant lives in
+    :func:`titanet_tpu.ops.augment.add_noise`
+    (``augmentation.noise.source: synthetic``)."""
+
+    paths: Sequence[str] = ()
+    probability: float = 1.0
+    snr_min: float = 5.0
+    snr_max: float = 20.0
+    enabled: bool = False
+
+
+@dataclass
 class ReverbConfig:
     """Host-side convolution reverb (reference Reverb, src/transforms.py:
     236-298): random RIR from a corpus dir, power-normalized, convolved."""
@@ -107,6 +124,7 @@ class DataLoader:
         chunk: Optional[ChunkConfig] = None,
         speed: Optional["SpeedConfig"] = None,
         reverb: Optional["ReverbConfig"] = None,
+        noise: Optional["NoiseMixConfig"] = None,
         sample_rate: int = 16000,
         seed: int = 42,
         buckets: Optional[List[int]] = None,
@@ -128,6 +146,7 @@ class DataLoader:
         self.chunk = chunk or ChunkConfig(enabled=False)
         self.speed = speed or SpeedConfig(enabled=False)
         self.reverb = reverb or ReverbConfig(enabled=False)
+        self.noise = noise or NoiseMixConfig(enabled=False)
         self.sample_rate = sample_rate
         self.seed = seed
         self.buckets = buckets or default_buckets(sample_rate, self.chunk)
@@ -165,6 +184,7 @@ class DataLoader:
         self._cache_bytes = 0
         self.epoch = 0
         self._rir_cache: dict = {}
+        self._noise_cache: dict = {}
 
     def __len__(self):
         """Steps per epoch FOR THIS SHARD (drives the cosine schedule
@@ -234,6 +254,10 @@ class DataLoader:
             rng.random() < self.reverb.probability
         ):
             wav = self._apply_reverb(wav, rng)
+        if self.noise.enabled and self.noise.paths and (
+            rng.random() < self.noise.probability
+        ):
+            wav = self._apply_noise(wav, rng)
         if self.chunk.enabled and len(wav) / self.sample_rate > self.chunk.max_length:
             length = int(rng.choice(self.chunk.lengths) * self.sample_rate)
             length = min(length, len(wav))  # chunk longer than utterance
@@ -263,6 +287,32 @@ class DataLoader:
             n *= 2
         out = np.fft.irfft(np.fft.rfft(wav, n) * np.fft.rfft(rir, n), n)[:t]
         return out.astype(np.float32)
+
+    def _apply_noise(self, wav: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        """Mix a random noise file at ``SNR ~ U(snr_min, snr_max)`` dB:
+        loop/crop the noise to the utterance length, scale its measured
+        power against the utterance's, add."""
+        path = str(rng.choice(list(self.noise.paths)))
+        noise = self._noise_cache.get(path)
+        if noise is None:
+            from titanet_tpu.data.audio_io import read_audio
+
+            n, n_sr = read_audio(path)
+            n = n.mean(axis=0) if n.ndim == 2 else n
+            if n_sr != self.sample_rate:
+                n = _resample_host(n, n_sr, self.sample_rate)
+            noise = n.astype(np.float32)
+            self._noise_cache[path] = noise
+        t = len(wav)
+        if len(noise) < t:
+            noise = np.tile(noise, -(-t // len(noise)))
+        start = int(rng.integers(0, len(noise) - t + 1))
+        seg = noise[start : start + t]
+        snr_db = float(rng.uniform(self.noise.snr_min, self.noise.snr_max))
+        sig_pow = float(np.mean(np.square(wav)))
+        noise_pow = max(float(np.mean(np.square(seg))), 1e-12)
+        gain = np.sqrt(sig_pow / (10.0 ** (snr_db / 10.0) * noise_pow))
+        return (wav + gain * seg).astype(np.float32)
 
     def _bucket_for(self, n: int) -> int:
         for b in self.buckets:
