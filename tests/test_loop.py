@@ -252,6 +252,71 @@ def test_cli_infer_checkpoint(tmp_path):
     np.testing.assert_allclose(np.linalg.norm(emb2, axis=1), 1.0, rtol=1e-3)
 
 
+def test_cli_trials_checkpoint(tmp_path):
+    """CLI trials subcommand: checkpoint + trial file + audio root ->
+    metrics; cohort npz (from infer -o) switches on S-norm and changes the
+    written scores."""
+    from titanet_tpu.cli import infer_checkpoint, trials_checkpoint
+    from titanet_tpu.data.audio_io import write_wav
+
+    cfg = Config.from_dict(
+        {
+            "dataset": {"name": "synthetic"},
+            "dumb": {"enabled": True, "n_layers": 1, "hidden_size": 16},
+            "generic": {"embedding_size": 8, "fast_prng": False},
+            "training": {
+                "epochs": 1,
+                "checkpoints_path": str(tmp_path),
+                "checkpoints_frequency": 1,
+            },
+            "validation": {"num_utterances_per_speaker": 2},
+            "test": {"num_speakers": 4, "num_utterances_per_speaker": 2},
+        }
+    )
+    ds, model, head, opt, state = _setup(n_speakers=8)
+    loader = DataLoader(ds, batch_size=8, chunk=ChunkConfig(enabled=False), prefetch=0)
+    training_loop(
+        "trialsrun", 1, state, loader, str(tmp_path),
+        model=model, head=head, optimizer=opt, frontend=FRONTEND,
+        checkpoints_frequency=1,
+    )
+    run_dir = str(tmp_path / "trialsrun")
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "audio"
+    root.mkdir()
+    for name in ("e0", "e1", "t0", "t1"):
+        write_wav(str(root / f"{name}.wav"),
+                  rng.standard_normal(12000).astype(np.float32) * 0.1, 16000)
+    trial_file = tmp_path / "trials.txt"
+    with open(trial_file, "w") as fh:
+        fh.write("1 e0.wav t0.wav\n0 e0.wav t1.wav\n"
+                 "e1.wav t1.wav target\ne1.wav t0.wav nontarget\n")
+
+    scores = tmp_path / "scores.txt"
+    metrics = trials_checkpoint(
+        cfg, run_dir, str(trial_file),
+        audio_root=str(root), scores_out=str(scores),
+    )
+    assert metrics["n_trials"] == 4 and metrics["n_files"] == 4
+    assert 0 <= metrics["eer"] <= 1
+    raw_rows = open(scores).read().strip().splitlines()
+    assert len(raw_rows) == 4
+
+    # cohort npz from the infer subcommand enables S-norm
+    cohort_npz = tmp_path / "cohort.npz"
+    infer_checkpoint(cfg, run_dir, split="test", num_utterances=6,
+                     out_path=str(cohort_npz))
+    normed = trials_checkpoint(
+        cfg, run_dir, str(trial_file),
+        audio_root=str(root), cohort_npz=str(cohort_npz), cohort_topk=4,
+        scores_out=str(scores),
+    )
+    assert normed["n_trials"] == 4
+    normed_rows = open(scores).read().strip().splitlines()
+    assert normed_rows != raw_rows  # normalization moved the scores
+
+
 def test_reference_parameters_yml_drives_build():
     """The reference repo's own parameters.yml loads and builds our model,
     head, and frontend unchanged (migration path)."""

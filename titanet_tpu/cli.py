@@ -649,6 +649,82 @@ def infer_checkpoint(
     return embeddings, labels
 
 
+def trials_checkpoint(
+    cfg: Config,
+    checkpoint_dir: str,
+    trial_file: str,
+    epoch: Optional[int] = None,
+    audio_root: Optional[str] = None,
+    cohort_npz: Optional[str] = None,
+    cohort_topk: Optional[int] = None,
+    scores_out: Optional[str] = None,
+):
+    """Score a standard trial list (VoxCeleb ``veri_test2.txt`` / Kaldi
+    ``trials`` format) with a saved checkpoint — the field-standard
+    verification protocol the reference lacks (its eval is all-pairs on
+    its own split, src/learn.py:409-459). See
+    :mod:`titanet_tpu.train.trials`.
+
+    ``cohort_npz`` (an ``infer -o`` output: embeddings + labels) enables
+    S-norm / AS-norm score normalization against that impostor cohort.
+    Returns the metrics dict (EER / minDCF / min-Cllr / counts).
+    """
+    import numpy as np
+
+    from titanet_tpu.train import checkpoint as ckpt
+    from titanet_tpu.train import ema_eval_state
+    from titanet_tpu.train.extractor import SpeakerEmbedder
+    from titanet_tpu.train.trials import evaluate_trials
+
+    _, _, _, n_speakers = get_datasets(
+        cfg.dataset.root,
+        name=cfg.dataset.name,
+        val=cfg.validation.enabled,
+        val_utterances_per_speaker=cfg.validation.num_utterances_per_speaker,
+        test=True,
+        test_speakers=cfg.test.num_speakers,
+        test_utterances_per_speaker=cfg.test.num_utterances_per_speaker,
+        **_synthetic_kwargs(cfg),
+    )
+    model, head, frontend, abstract = _rebuild_state(cfg, n_speakers)
+    if epoch is None:
+        state, epoch = ckpt.restore_latest(checkpoint_dir, abstract)
+        if state is None:
+            raise FileNotFoundError(f"no checkpoint under {checkpoint_dir}")
+    else:
+        state = ckpt.restore_checkpoint(checkpoint_dir, epoch, abstract)
+    state = ema_eval_state(state)
+    embedder = SpeakerEmbedder(
+        model=model,
+        params=state.params["backbone"],
+        batch_stats=state.batch_stats,
+        frontend=frontend,
+        batch_size=cfg.validation.batch_size,
+    )
+    cohort_embeddings = None
+    if cohort_npz:
+        cohort_embeddings = np.load(cohort_npz)["embeddings"]
+    metrics = evaluate_trials(
+        trial_file, embedder,
+        audio_root=audio_root,
+        sample_rate=cfg.audio.sample_rate,
+        cohort_embeddings=cohort_embeddings,
+        cohort_topk=cohort_topk,
+        p_target=cfg.test.mindcf_p_target,
+        c_fa=cfg.test.mindcf_c_fa,
+        c_miss=cfg.test.mindcf_c_miss,
+        scores_out=scores_out,
+    )
+    print(
+        f"[trials epoch {epoch}] eer={metrics['eer']:.4f} "
+        f"mindcf@{cfg.test.mindcf_p_target}={metrics['mindcf']:.4f} "
+        f"min_cllr={metrics['min_cllr']:.4f} "
+        f"({metrics['n_trials']} trials / {metrics['n_target']} target / "
+        f"{metrics['n_files']} files)"
+    )
+    return metrics
+
+
 def main(argv: Optional[list] = None):
     # Multi-host: bring up the JAX distributed runtime BEFORE any device
     # use when the env contract is present (TITANET_COORDINATOR /
@@ -678,6 +754,25 @@ def main(argv: Optional[list] = None):
                          help="output .npz (embeddings + labels)")
     p_infer.add_argument("--fig", default=None,
                          help="save a 2-D projection scatter PNG")
+    p_trials = sub.add_parser(
+        "trials", help="score a standard trial list (VoxCeleb veri_test2 / "
+        "Kaldi format) with a checkpoint")
+    p_trials.add_argument("-p", "--params", required=False, default=None)
+    p_trials.add_argument("-c", "--checkpoint-dir", required=True)
+    p_trials.add_argument("-e", "--epoch", type=int, default=None)
+    p_trials.add_argument("--trial-file", required=True,
+                          help="'<0|1> <enroll> <test>' or "
+                          "'<enroll> <test> target|nontarget' per line")
+    p_trials.add_argument("--audio-root", default=None,
+                          help="directory trial paths are relative to")
+    p_trials.add_argument("--cohort", default=None,
+                          help="impostor-cohort .npz from `infer -o` "
+                          "(enables S-norm)")
+    p_trials.add_argument("--cohort-topk", type=int, default=None,
+                          help="AS-norm: use only each side's top-K "
+                          "cohort scores")
+    p_trials.add_argument("-o", "--scores-out", default=None,
+                          help="write '<enroll> <test> <score>' lines")
     args = parser.parse_args(argv)
     if args.cmd == "train":
         cfg = load_config(args.params)
@@ -703,6 +798,13 @@ def main(argv: Optional[list] = None):
             cfg, args.checkpoint_dir, args.epoch, audio_paths=audio,
             split=args.split, num_utterances=args.num_utterances,
             out_path=args.out, fig_path=args.fig,
+        )
+    elif args.cmd == "trials":
+        cfg = load_config(args.params)
+        trials_checkpoint(
+            cfg, args.checkpoint_dir, args.trial_file, args.epoch,
+            audio_root=args.audio_root, cohort_npz=args.cohort,
+            cohort_topk=args.cohort_topk, scores_out=args.scores_out,
         )
 
 

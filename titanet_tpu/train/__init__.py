@@ -11,6 +11,12 @@ from titanet_tpu.train.metrics import (  # noqa: F401
     metrics_from_class_counts,
     snorm_scores,
 )
+from titanet_tpu.train.trials import (  # noqa: F401
+    embed_trial_files,
+    evaluate_trials,
+    parse_trial_list,
+    trial_scores,
+)
 from titanet_tpu.train.state import (  # noqa: F401
     MetricsAcc,
     TrainState,
