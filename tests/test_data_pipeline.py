@@ -467,3 +467,79 @@ def test_fetch_musan_file_url(tmp_path):
     assert len(wavs) == 1 and wavs[0].name == "noise-0001.wav"
     # idempotent: second call short-circuits on the existing wavs
     assert fetch_musan(dest, subset="noise") == out
+
+
+def test_concat_dataset_full_protocol():
+    """ConcatSpeakerDataset: namespaced disjoint speakers, index routing,
+    splits, Subset/DataLoader composition — the whole stack on a union."""
+    from titanet_tpu.data import ConcatSpeakerDataset
+
+    a = SyntheticSpeakerDataset(n_speakers=3, utterances_per_speaker=4, seed=0)
+    b = SyntheticSpeakerDataset(n_speakers=2, utterances_per_speaker=5, seed=1)
+    cat = ConcatSpeakerDataset([a, b], names=["x", "y"])
+    assert len(cat) == len(a) + len(b)
+    assert cat.get_num_speakers() == 5
+    assert all("/" in s for s in cat.speakers)
+    assert sorted(cat.speakers_to_id.values()) == list(range(5))
+
+    # index routing: the union's sample len(a)+1 IS b's sample 1, namespaced
+    wav, sr, spk = cat.get_sample(len(a) + 1)
+    wav_b, sr_b, spk_b = b.get_sample(1)
+    np.testing.assert_array_equal(wav, wav_b)
+    assert sr == sr_b and spk == f"y/{spk_b}"
+    assert cat.get_path(len(a) + 1) == b.get_path(1)
+
+    # speakers_utterances indices agree with get_sample's speaker
+    for spk, utts in cat.speakers_utterances.items():
+        assert cat.get_sample(utts[0])[2] == spk
+
+    # full split + loader stack
+    train_utt, val_utt, test_utt = cat.get_splits(
+        val=True, val_utterances_per_speaker=1,
+        test=True, test_speakers=2, test_utterances_per_speaker=1,
+    )
+    assert not set(train_utt) & set(val_utt)
+    sub = Subset(cat, train_utt)
+    assert sub.speakers_to_id is cat.speakers_to_id
+    loader = DataLoader(sub, batch_size=4, chunk=ChunkConfig(enabled=True),
+                        prefetch=0)
+    batch = next(iter(loader))
+    assert batch.waveform.shape[0] == 4
+    assert all(0 <= int(s) < 5 for s in batch.speakers)
+
+    with pytest.raises(ValueError):
+        ConcatSpeakerDataset([a, b], names=["x", "x"])
+    with pytest.raises(ValueError):
+        ConcatSpeakerDataset([])
+    with pytest.raises(IndexError):
+        cat.get_sample(len(cat))
+
+
+def test_get_datasets_union(tmp_path):
+    """get_datasets('voxceleb1+synthetic'): on-disk + procedural corpora
+    combine; kwargs are filtered per backend; bad unions are rejected."""
+    from titanet_tpu.data import get_datasets
+
+    rng = np.random.default_rng(0)
+    for spk in ("id001", "id002"):
+        for i in range(4):
+            p = tmp_path / "wav" / spk / "v0" / f"u{i}.wav"
+            os.makedirs(p.parent, exist_ok=True)
+            write_wav(str(p), rng.standard_normal(4000).astype(np.float32) * 0.1,
+                      16000)
+
+    train, val, test, n = get_datasets(
+        str(tmp_path), name="voxceleb1+synthetic",
+        val_utterances_per_speaker=1,
+        test_speakers=2, test_utterances_per_speaker=1,
+        n_speakers=3, utterances_per_speaker=4, seed=0,
+    )
+    assert n == 2 + 3
+    names = {s.split("/")[0] for s in train.speakers}
+    assert names == {"voxceleb1", "synthetic"}
+    assert len(train) + len(val) + len(test) == 2 * 4 + 3 * 4
+
+    with pytest.raises(ValueError):
+        get_datasets(str(tmp_path), name="synthetic+synthetic")
+    with pytest.raises(KeyError):
+        get_datasets(str(tmp_path), name="synthetic+nosuch")

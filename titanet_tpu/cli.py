@@ -181,7 +181,8 @@ def build_head_from_config(cfg: Config, n_speakers: int):
 
 
 def _synthetic_kwargs(cfg: Config) -> dict:
-    if cfg.dataset.name != "synthetic":
+    # "synthetic" alone or as a member of a "+"-union corpus name
+    if "synthetic" not in cfg.dataset.name.split("+"):
         return {}
     return dict(
         n_speakers=cfg.dataset.synthetic_speakers,

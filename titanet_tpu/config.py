@@ -103,7 +103,10 @@ class TrainingConfig:
 @dataclass
 class DatasetConfig:
     root: str = "./data"
-    name: str = "librispeech"  # librispeech | vctk | voxceleb1 | voxceleb2 | synthetic
+    # librispeech | vctk | voxceleb1 | voxceleb2 | synthetic, or a
+    # "+"-joined union ("librispeech+vctk") trained as ONE corpus with
+    # per-source namespaced speakers (data.ConcatSpeakerDataset)
+    name: str = "librispeech"
     # synthetic-corpus size + difficulty (ignored for on-disk corpora);
     # the difficulty knobs make EER a discriminative benchmark — see
     # SyntheticSpeakerDataset

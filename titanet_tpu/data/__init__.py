@@ -3,6 +3,7 @@
 from titanet_tpu.data.audio_io import read_audio, read_wav, write_wav  # noqa: F401
 from titanet_tpu.data.dataset import (  # noqa: F401
     DATASETS,
+    ConcatSpeakerDataset,
     LibriSpeechDataset,
     SpeakerDataset,
     Subset,

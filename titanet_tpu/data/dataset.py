@@ -192,6 +192,63 @@ class Subset(SpeakerDataset):
         return self.parent[self.indices[idx]]
 
 
+class ConcatSpeakerDataset(SpeakerDataset):
+    """Union of several corpora as ONE speaker dataset (beyond the
+    reference, which trains on exactly one corpus — src/train.py:49-57;
+    combining corpora is the standard way to scale speaker coverage).
+
+    Speakers are namespaced per source (``"<name>/<speaker>"``) so label
+    spaces from different corpora never collide; utterance indices
+    concatenate in dataset order. The FULL :class:`SpeakerDataset`
+    protocol (splits, pairs, random sampling, durations, info) works on
+    the union, so the training/eval stack is unchanged. Build via
+    ``get_datasets(name="librispeech+vctk")``.
+    """
+
+    def __init__(self, datasets: Sequence[SpeakerDataset],
+                 names: Optional[Sequence[str]] = None):
+        if not datasets:
+            raise ValueError("ConcatSpeakerDataset needs >= 1 dataset")
+        self.datasets = list(datasets)
+        names = (list(names) if names is not None
+                 else [f"d{i}" for i in range(len(self.datasets))])
+        if len(names) != len(self.datasets):
+            raise ValueError(
+                f"{len(names)} names for {len(self.datasets)} datasets"
+            )
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate corpus names: {names!r}")
+        self.names = names
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+        super().__init__()
+
+    def get_speakers_utterances(self):
+        out = {}
+        for name, ds, off in zip(self.names, self.datasets,
+                                 self._offsets[:-1]):
+            for spk, utts in ds.speakers_utterances.items():
+                out[f"{name}/{spk}"] = [int(u) + int(off) for u in utts]
+        return out
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def _locate(self, idx: int) -> Tuple[int, int]:
+        if not 0 <= idx < len(self):
+            raise IndexError(idx)
+        k = int(np.searchsorted(self._offsets, idx, side="right")) - 1
+        return k, int(idx - self._offsets[k])
+
+    def get_sample(self, idx):
+        k, j = self._locate(idx)
+        waveform, sample_rate, speaker = self.datasets[k].get_sample(j)
+        return waveform, sample_rate, f"{self.names[k]}/{speaker}"
+
+    def get_path(self, idx):
+        k, j = self._locate(idx)
+        return self.datasets[k].get_path(j)
+
+
 class LibriSpeechDataset(SpeakerDataset):
     """LibriSpeech layout: ``root/LibriSpeech/<url>/<speaker>/<chapter>/
     <speaker>-<chapter>-<utt>.flac`` (reference src/datasets.py:297-332,
@@ -475,8 +532,37 @@ def get_datasets(
     **kwargs,
 ):
     """Build (train, val, test, n_speakers) like reference get_datasets
-    (src/datasets.py:76-113)."""
-    if name == "synthetic":
+    (src/datasets.py:76-113). ``name`` may be a ``+``-joined union
+    ("librispeech+vctk") — see :class:`ConcatSpeakerDataset`; kwargs are
+    filtered per backend constructor by signature."""
+    if "+" in name:
+        import inspect
+
+        subs = [s.strip() for s in name.split("+") if s.strip()]
+        if len(subs) < 2 or len(set(subs)) != len(subs):
+            raise ValueError(
+                f"union dataset name must join >=2 distinct corpora, "
+                f"got {name!r}"
+            )
+        parts = []
+        for sub in subs:
+            if sub not in DATASETS:
+                raise KeyError(f"unknown corpus {sub!r} in {name!r}")
+            cls = DATASETS[sub]
+            params = inspect.signature(cls.__init__).parameters
+            sub_kwargs = {
+                k: v for k, v in kwargs.items()
+                if k in params
+                and params[k].kind is not inspect.Parameter.VAR_KEYWORD
+            }
+            if sub == "voxceleb1":
+                sub_kwargs.setdefault("version", 1)
+            if sub == "synthetic":
+                parts.append(cls(**sub_kwargs))
+            else:
+                parts.append(cls(dataset_root, **sub_kwargs))
+        full = ConcatSpeakerDataset(parts, names=subs)
+    elif name == "synthetic":
         full = SyntheticSpeakerDataset(**kwargs)
     else:
         full = DATASETS[name](dataset_root, **kwargs)
