@@ -505,7 +505,7 @@ def test_concat_dataset_full_protocol():
                         prefetch=0)
     batch = next(iter(loader))
     assert batch.waveform.shape[0] == 4
-    assert all(0 <= int(s) < 5 for s in batch.speakers)
+    assert all(0 <= int(s) < 5 for s in batch.speaker_ids)
 
     with pytest.raises(ValueError):
         ConcatSpeakerDataset([a, b], names=["x", "x"])

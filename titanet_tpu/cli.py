@@ -607,7 +607,10 @@ def infer_checkpoint(
         wavs, labels = [], []
         for path in audio_paths:
             wav, sr = read_audio(path)
-            wav = np.asarray(wav, np.float32).reshape(-1)
+            wav = np.asarray(wav, np.float32)
+            if wav.ndim == 2:  # [C, T] multi-channel: downmix like the loader
+                wav = wav.mean(axis=0)
+            wav = wav.reshape(-1)
             if sr != cfg.audio.sample_rate:
                 wav = _resample_host(wav, sr, cfg.audio.sample_rate)
             wavs.append(wav)

@@ -22,6 +22,7 @@ Differences by design:
 
 from __future__ import annotations
 
+import itertools
 import os
 from collections import defaultdict
 from pathlib import Path
@@ -87,6 +88,13 @@ class SpeakerDataset:
             speakers += [speaker] * n_utterances_per_speaker
         return utterances, speakers
 
+    def _test_split_speaker_order(self) -> List[str]:
+        """Speaker priority order used to select the held-out test
+        speakers in :meth:`get_splits`. Default: corpus order (matches
+        the reference, src/datasets.py:191-229). Unions override this to
+        spread test speakers across member corpora."""
+        return list(self.speakers)
+
     def get_splits(
         self,
         val: bool = True,
@@ -97,13 +105,14 @@ class SpeakerDataset:
     ):
         """Deterministic per-speaker train/val/test split
         (reference src/datasets.py:191-229)."""
+        test_spk = set(self._test_split_speaker_order()[:test_speakers])
         train_utt, val_utt, test_utt = [], [], []
-        for i, s in enumerate(self.speakers):
+        for s in self.speakers:
             start = 0
             if val:
                 val_utt += self.speakers_utterances[s][:val_utterances_per_speaker]
                 start += val_utterances_per_speaker
-            if test and i < test_speakers:
+            if test and s in test_spk:
                 test_utt += self.speakers_utterances[s][
                     val_utterances_per_speaker : val_utterances_per_speaker
                     + test_utterances_per_speaker
@@ -247,6 +256,19 @@ class ConcatSpeakerDataset(SpeakerDataset):
     def get_path(self, idx):
         k, j = self._locate(idx)
         return self.datasets[k].get_path(j)
+
+    def _test_split_speaker_order(self):
+        """Round-robin over member corpora so the held-out test split
+        samples every source, not just the first-listed one (the base
+        corpus-order rule would drain dataset 0 before touching others)."""
+        per_source = [
+            [f"{name}/{spk}" for spk in ds.speakers]
+            for name, ds in zip(self.names, self.datasets)
+        ]
+        order: List[str] = []
+        for layer in itertools.zip_longest(*per_source):
+            order += [s for s in layer if s is not None]
+        return order
 
 
 class LibriSpeechDataset(SpeakerDataset):
@@ -565,6 +587,10 @@ def get_datasets(
     elif name == "synthetic":
         full = SyntheticSpeakerDataset(**kwargs)
     else:
+        if name == "voxceleb1":
+            # Same name->version defaulting as the union branch above, so
+            # "voxceleb1" routes acquisition identically either way.
+            kwargs.setdefault("version", 1)
         full = DATASETS[name](dataset_root, **kwargs)
     train_utt, val_utt, test_utt = full.get_splits(
         val=val,

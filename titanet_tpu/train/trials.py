@@ -107,16 +107,26 @@ def embed_trial_files(
         if p not in seen:
             seen.add(p)
             unique.append(p)
-    wavs: List[np.ndarray] = []
-    for p in unique:
-        full = os.path.join(audio_root, p) if audio_root else p
-        wav, sr = read_audio(full)
-        wav = np.asarray(wav, np.float32).reshape(-1)
-        if sr != sample_rate:
-            wav = _resample_host(wav, sr, sample_rate)
-        wavs.append(wav)
-    embeddings = np.asarray(embedder.embed(wavs), np.float32)
-    return dict(zip(unique, embeddings))
+    # Stream in bounded groups: VoxCeleb1-E/H-scale lists (~145k unique
+    # files) must not require every decoded waveform resident at once.
+    out: Dict[str, np.ndarray] = {}
+    group = 512
+    for start in range(0, len(unique), group):
+        chunk_paths = unique[start:start + group]
+        wavs: List[np.ndarray] = []
+        for p in chunk_paths:
+            full = os.path.join(audio_root, p) if audio_root else p
+            wav, sr = read_audio(full)
+            wav = np.asarray(wav, np.float32)
+            if wav.ndim == 2:  # [C, T] multi-channel: downmix like the loader
+                wav = wav.mean(axis=0)
+            wav = wav.reshape(-1)
+            if sr != sample_rate:
+                wav = _resample_host(wav, sr, sample_rate)
+            wavs.append(wav)
+        embs = np.asarray(embedder.embed(wavs), np.float32)
+        out.update(zip(chunk_paths, embs))
+    return out
 
 
 def _unit(x: np.ndarray) -> np.ndarray:
