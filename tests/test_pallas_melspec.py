@@ -263,3 +263,51 @@ def test_titanet_defer_epilog_equals_unfused():
         np.asarray(jax.nn.relu(h * a + c)), np.asarray(full),
         rtol=1e-5, atol=1e-6,
     )
+
+
+@pytest.mark.parametrize("t", [301, 608, 1500, 3000])
+def test_attentive_pool_fused_long_T_regression(t):
+    """r3 OOM regression (CLAUDE.md): eval sees UNCHUNKED utterances at
+    T~600+ and a fixed batch tile blew the Mosaic VMEM stack. Covers the
+    module path (which owns the T-scaled tile selection) in interpret
+    mode at long T: fwd + all grads vs the jnp path, plus the tile-
+    scaling invariant that bounds the kernel's per-step VMEM footprint."""
+    import numpy as np
+
+    from titanet_tpu.ops.pooling import AttentiveStatsPooling
+
+    B, C, H = 2, 256, 128
+    rng = np.random.default_rng(t)
+    x = jnp.asarray(rng.standard_normal((B, t, C)) * 0.5, jnp.float32)
+    ker_mod = AttentiveStatsPooling(hidden_size=H, use_kernel=True)
+    jnp_mod = AttentiveStatsPooling(hidden_size=H, use_kernel=False)
+    v = ker_mod.init(jax.random.key(0), x)
+
+    out_k = ker_mod.apply(v, x)
+    out_r = jnp_mod.apply(v, x)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss(mod):
+        return lambda v, x: jnp.sum(mod.apply(v, x) ** 2)
+
+    gv_k, gx_k = jax.grad(loss(ker_mod), argnums=(0, 1))(v, x)
+    gv_r, gx_r = jax.grad(loss(jnp_mod), argnums=(0, 1))(v, x)
+    np.testing.assert_allclose(np.asarray(gx_k), np.asarray(gx_r),
+                               rtol=2e-3, atol=2e-3, err_msg="grad x")
+    for (pk, gk), (pr, gr) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(gv_k), key=lambda kv: str(kv[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(gv_r), key=lambda kv: str(kv[0])),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gr), rtol=2e-3, atol=2e-3,
+            err_msg=f"grad param {pk}",
+        )
+
+    # Tile-scaling invariant (pooling.py): bt*T stays at/below the measured
+    # safe working point (base tile x T=310) for both dtype bases, so the
+    # kernel's dominant per-step VMEM temps (~bt*T*C f32 rows) are bounded
+    # independent of utterance length. The bwd kernel additionally halves bt.
+    for base in (4, 2):  # bf16 fwd base, f32 fwd base
+        bt = max(1, min(base, (base * 310) // t))
+        assert bt >= 1 and bt * t <= max(base * 310, t), (base, bt, t)
