@@ -208,3 +208,130 @@ def load_reference_checkpoint(
     if with_head:
         return params, stats, convert_head_state_dict(sd)
     return params, stats
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: titanet_tpu pytrees -> reference torch state dict
+# ---------------------------------------------------------------------------
+
+
+def _inv_conv(dst, prefix, p):
+    dst[f"{prefix}.weight"] = _np(p["kernel"]).transpose(2, 1, 0)
+    if "bias" in p:
+        dst[f"{prefix}.bias"] = _np(p["bias"])
+
+
+def _inv_linear(dst, prefix, p):
+    dst[f"{prefix}.weight"] = _np(p["kernel"]).T
+    if "bias" in p:
+        dst[f"{prefix}.bias"] = _np(p["bias"])
+
+
+def _inv_bn(dst, prefix, p, s):
+    dst[f"{prefix}.weight"] = _np(p["scale"])
+    dst[f"{prefix}.bias"] = _np(p["bias"])
+    dst[f"{prefix}.running_mean"] = _np(s["mean"])
+    dst[f"{prefix}.running_var"] = _np(s["var"])
+    # torch BatchNorm1d state dicts carry this buffer; strict loads want it
+    dst[f"{prefix}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def export_titanet_state_dict(params: Dict, batch_stats: Dict) -> Dict:
+    """Inverse of :func:`convert_titanet_state_dict`: our ``(params,
+    batch_stats)`` pytrees -> a numpy-valued dict keyed exactly like the
+    reference ``TitaNet.state_dict()`` (src/models.py:342-584 module
+    paths), so a reference user can ``model.load_state_dict`` weights
+    trained here. Accepts either the unrolled or the ``scan_blocks``
+    (stacked) mega-block layout."""
+    if "mega_blocks" in params.get("encoder", {}):
+        from titanet_tpu.models.titanet import unstack_mega_block_params
+
+        params = unstack_mega_block_params(params)
+        batch_stats = unstack_mega_block_params(batch_stats)
+
+    sd: Dict = {}
+
+    def conv_block(tprefix, p, s, depthwise):
+        if depthwise:
+            _inv_conv(sd, f"{tprefix}.conv_block.0.conv.0", p["conv"]["depthwise"])
+            _inv_conv(sd, f"{tprefix}.conv_block.0.conv.1", p["conv"]["pointwise"])
+        else:
+            _inv_conv(sd, f"{tprefix}.conv_block.0", p["conv"])
+        _inv_bn(sd, f"{tprefix}.conv_block.1", p["norm"], s["norm"])
+
+    enc_p, enc_s = params["encoder"], batch_stats["encoder"]
+    conv_block("encoder.prolog", enc_p["prolog"], enc_s["prolog"], False)
+    conv_block("encoder.epilog", enc_p["epilog"], enc_s["epilog"], False)
+    mega_ids = sorted(
+        int(k.split("_")[-1]) for k in enc_p if k.startswith("mega_block_")
+    )
+    for i in mega_ids:
+        base = f"encoder.mega_blocks.{i}"
+        mp, ms = enc_p[f"mega_block_{i}"], enc_s[f"mega_block_{i}"]
+        sub_ids = sorted(
+            int(k.split("_")[-1]) for k in mp if k.startswith("sub_block_")
+        )
+        for j in sub_ids:
+            conv_block(
+                f"{base}.sub_blocks.{j}", mp[f"sub_block_{j}"],
+                ms[f"sub_block_{j}"], True,
+            )
+        se_idx = len(sub_ids)
+        _inv_linear(sd, f"{base}.sub_blocks.{se_idx}.excitation.0", mp["se"]["fc1"])
+        _inv_linear(sd, f"{base}.sub_blocks.{se_idx}.excitation.2", mp["se"]["fc2"])
+        _inv_conv(sd, f"{base}.skip_connection.0", mp["skip_conv"])
+        _inv_bn(sd, f"{base}.skip_connection.1", mp["skip_norm"], ms["skip_norm"])
+
+    dec_p, dec_s = params["decoder"], batch_stats["decoder"]
+    if "in_linear" in dec_p["pool"]:  # attentive pooling
+        _inv_linear(sd, "decoder.pool.0.in_linear", dec_p["pool"]["in_linear"])
+        _inv_linear(sd, "decoder.pool.0.out_linear", dec_p["pool"]["out_linear"])
+        _inv_bn(sd, "decoder.pool.1", dec_p["pool_norm"], dec_s["pool_norm"])
+    else:  # simple pool
+        _inv_linear(sd, "decoder.pool.2", dec_p["pool"]["linear"])
+    _inv_linear(sd, "decoder.linear.0", dec_p["linear"])
+    _inv_bn(sd, "decoder.linear.1", dec_p["linear_norm"], dec_s["linear_norm"])
+    return sd
+
+
+def export_head_state_dict(head_name: str, head_params: Dict) -> Dict:
+    """Our head params -> reference ``loss_function.*`` keys
+    (src/losses.py: CE fc.weight+bias, angular fc.weight, GE2E w/b)."""
+    sd: Dict = {}
+    if head_name == "ce":
+        _inv_linear(sd, "loss_function.fc", head_params["fc"])
+    elif head_name in ("arc", "cos", "sphere"):
+        sd["loss_function.fc.weight"] = _np(head_params["weight"]).T
+    elif head_name == "ge2e":
+        sd["loss_function.w"] = _np(head_params["w"])
+        sd["loss_function.b"] = _np(head_params["b"])
+    else:
+        raise ValueError(f"unknown head {head_name!r}")
+    return sd
+
+
+def save_reference_checkpoint(
+    path: str,
+    params: Dict,
+    batch_stats: Dict,
+    head_name: str = None,
+    head_params: Dict = None,
+    epoch: int = 0,
+):
+    """Write a reference-format ``.pth`` checkpoint (the exact layout
+    learn.py:188-199 saves: model / optimizer / lr_scheduler / epoch), so
+    migration works in BOTH directions (docs/MIGRATION.md). Optimizer and
+    scheduler slots are left empty — the reference's own resume path
+    tolerates that for inference/fine-tune restarts."""
+    import torch
+
+    sd = export_titanet_state_dict(params, batch_stats)
+    if head_name is not None and head_params is not None:
+        sd.update(export_head_state_dict(head_name, head_params))
+    blob = {
+        "model": {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        "optimizer": dict(),
+        "lr_scheduler": dict(),
+        "epoch": int(epoch),
+    }
+    torch.save(blob, path)
