@@ -22,8 +22,9 @@ T_SECONDS = 3.0
 N_MELS = 80
 SR = 16000
 FRAMES = int(T_SECONDS * SR) // 160 + 1  # 301
-DTYPE = "bfloat16"  # embedding cosine drift vs f32 is ~3e-4, within the
-#                     1e-3 parity budget (BASELINE.md); params stay f32
+DTYPE = "bfloat16"  # embedding cosine drift vs f32 measured at 7.2e-6
+#                     (PARITY.md r3), well inside the 1e-3 parity budget
+#                     (BASELINE.md); params stay f32
 
 
 def bench_tpu(mel: np.ndarray) -> float:

@@ -1,0 +1,193 @@
+"""Scaled discriminative EER benchmark runner (VERDICT r3 item 3).
+
+Same harness as run_eer_bench.py but on the SCALED corpus
+(configs/bench21_scaled_eer.yml: 256 speakers x 100 utts, test 40x40),
+sized so training-recipe rankings transfer (the smoke regime inverted
+CE vs ArcFace and pinned minDCF at ~0.95). Results land in
+docs/eer_bench/RESULTS_v2.md + the shared ledger (s21_* keys).
+
+Runs serially (only one process may hold the TPU):
+
+    python docs/eer_bench/run_eer_bench_scaled.py [--only PREFIX]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, REPO)
+OUT_DIR = os.path.dirname(os.path.abspath(__file__))
+
+from run_eer_bench import (  # noqa: E402  (sibling module)
+    CKPT_ROOT,
+    _load_ledger,
+    _read_test_row,
+    _write_ledger,
+)
+
+CONFIG = os.path.join(REPO, "configs", "bench21_scaled_eer.yml")
+SEEDS = (42, 43, 44)
+
+
+def _runs():
+    # Seed-major order: complete seed 42 for EVERY config, then 43, then
+    # 44 — an interrupted campaign still leaves comparable bands at n
+    # completed seeds. Within a seed, ce_ema precedes distill (teacher
+    # checkpoint dependency).
+    runs = []
+    for s in SEEDS:
+        runs.append((f"s21_ce_seed{s}", {"training.loss": "ce", "generic.seed": s}))
+        runs.append((f"s21_arc_seed{s}", {"training.loss": "arc", "generic.seed": s}))
+        runs.append((f"s21_arc_warmup_seed{s}",
+                     {"training.loss": "arc", "generic.seed": s,
+                      "loss.arc.margin_warmup_epochs": 5}))
+        runs.append((f"s21_ecapa_seed{s}",
+                     {"training.loss": "ce", "generic.seed": s,
+                      "ecapa.enabled": True}))
+        runs.append((f"s21_xvector_seed{s}",
+                     {"training.loss": "ce", "generic.seed": s,
+                      "xvector.enabled": True}))
+        runs.append((f"s21_conformer_seed{s}",
+                     {"training.loss": "ce", "generic.seed": s,
+                      "conformer.enabled": True}))
+        runs.append((f"s21_ce_ema_seed{s}",
+                     {"training.loss": "ce", "generic.seed": s,
+                      "training.ema_decay": 0.99}))
+        runs.append((
+            f"s21_distill_xvector_seed{s}",
+            {"training.loss": "ce", "generic.seed": s,
+             "xvector.enabled": True,
+             "distill.enabled": True,
+             "distill.teacher_checkpoint":
+                 f"./checkpoints/eer_bench/s21_ce_ema_seed{s}",
+             "distill.teacher_overrides": {"xvector.enabled": False,
+                                           "training.ema_decay": 0.99},
+             "distill.alpha": 0.5},
+        ))
+    return runs
+
+
+def run_one_scaled(name, overrides):
+    from titanet_tpu.cli import train
+    from titanet_tpu.config import load_config
+    from titanet_tpu.train.loop import NonFiniteLossError
+
+    overrides = dict(overrides)
+    overrides["training.run_name"] = name
+    cfg = load_config(CONFIG, overrides)
+    try:
+        train(cfg)
+    except NonFiniteLossError as e:
+        print(f"[diverged] {name}: {e}")
+        return {"run": name, "eer": None, "mindcf": None,
+                "diverged": True, **overrides}
+    test = _read_test_row(name) or {}
+    return {"run": name, "eer": test.get("test/eer"),
+            "mindcf": test.get("test/mindcf"), **overrides}
+
+
+def write_results(results):
+    import numpy as np
+
+    lines = [
+        "# Scaled discriminative EER benchmark (RESULTS v2)",
+        "",
+        "Corpus: 256 confusable speakers x 100 utterances (same hardness",
+        "knobs as bench5: shared formants +-150 Hz, pitch 110-200 Hz +-10%,",
+        "noise 0.05, reverb p=0.5 — `configs/bench21_scaled_eer.yml`).",
+        "Training: 15 epochs x ~355 steps (B=64, bf16, chunk+SpecAugment,",
+        "~4.4x the gradient updates and ~10x the unique data of the smoke",
+        "regime). Test: 40 speakers x 40 utterances (1,600 utts, ~62k",
+        "target trials), all-pairs cosine protocol",
+        "(reference src/learn.py:409-459). TPU v5e, one chip.",
+        "",
+        "| run | loss | model | seed | EER | minDCF |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in results:
+        if r.get("eer") is None:
+            eer_cell, dcf_cell = "diverged (non-finite loss)", "—"
+        else:
+            eer_cell, dcf_cell = f"{r['eer']:.3f}", f"{r['mindcf']:.3f}"
+        model_cell = "s"
+        if r.get("ecapa.enabled"):
+            model_cell = "ecapa"
+        elif r.get("xvector.enabled"):
+            model_cell = "xvector"
+        elif r.get("conformer.enabled"):
+            model_cell = "conformer"
+        seed = r.get("generic.seed", "?")
+        lines.append(
+            f"| {r['run']} | {r.get('training.loss', 'ce')} | {model_cell} "
+            f"| {seed} | {eer_cell} | {dcf_cell} |"
+        )
+    lines.append("")
+
+    def band(prefix, field="eer"):
+        vals = [r[field] for r in results
+                if r["run"].startswith(prefix) and r.get(field) is not None]
+        return (np.mean(vals), np.std(vals), len(vals)) if vals else None
+
+    for prefix, label in [
+        ("s21_ce_seed", "CE (TitaNet-S)"),
+        ("s21_arc_seed", "Arc (TitaNet-S)"),
+        ("s21_arc_warmup", "Arc + margin warmup (TitaNet-S)"),
+        ("s21_ecapa", "CE (ECAPA-TDNN C=512)"),
+        ("s21_xvector", "CE (x-vector TDNN)"),
+        ("s21_conformer", "CE (MFA-Conformer)"),
+        ("s21_ce_ema", "CE + weight EMA 0.99 (TitaNet-S)"),
+        ("s21_distill", "distilled x-vector (CE+EMA teacher)"),
+    ]:
+        b = band(prefix)
+        d = band(prefix, "mindcf")
+        if b:
+            lines.append(
+                f"- {label}: EER {b[0]:.3f} ± {b[1]:.3f}, "
+                f"minDCF {d[0]:.3f} ± {d[1]:.3f} (n={b[2]})."
+            )
+    with open(os.path.join(OUT_DIR, "RESULTS_v2.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="run-name prefix filter (e.g. s21_ce)")
+    args = ap.parse_args()
+
+    results = []
+    ledger = _load_ledger()
+    for name, overrides in _runs():
+        if args.only and not name.startswith(args.only):
+            continue
+        done = _read_test_row(name)
+        if done is not None:
+            print(f"[skip] {name} already ran: eer={done['test/eer']}")
+            row = {"run": name, "eer": done["test/eer"],
+                   "mindcf": done.get("test/mindcf"), **overrides}
+            ledger[name] = {"eer": done["test/eer"],
+                            "mindcf": done.get("test/mindcf")}
+            results.append(row)
+            continue
+        if name in ledger:
+            print(f"[ledger] {name} recorded: eer={ledger[name]['eer']}")
+            results.append({"run": name, **ledger[name], **overrides})
+            continue
+        print(f"[run] {name}", flush=True)
+        results.append(run_one_scaled(name, overrides))
+        print(json.dumps(results[-1]), flush=True)
+        if results[-1].get("eer") is not None or results[-1].get("diverged"):
+            ledger[name] = {"eer": results[-1]["eer"],
+                            "mindcf": results[-1]["mindcf"]}
+            if results[-1].get("diverged"):
+                ledger[name]["diverged"] = True
+            _write_ledger(ledger)
+        write_results(results)
+    _write_ledger(ledger)
+    write_results(results)
+
+
+if __name__ == "__main__":
+    main()

@@ -418,6 +418,9 @@ class VoxCelebDataset(SpeakerDataset):
         return wav, sr, Path(self._walker[idx]).parts[-3]
 
 
+_SHARED_SYNTH_CACHES: Dict[tuple, Dict[int, Tuple]] = {}
+
+
 class SyntheticSpeakerDataset(SpeakerDataset):
     """Procedural speaker corpus for tests/benchmarks (no disk IO).
 
@@ -466,8 +469,23 @@ class SyntheticSpeakerDataset(SpeakerDataset):
         self.noise_level = noise_level
         self.reverb_prob = reverb_prob
         # synthesis is deterministic per (seed, idx): cache waveforms so
-        # epochs don't re-synthesize (augmentation happens in the loader)
-        self._cache: Optional[Dict[int, Tuple]] = {} if cache else None
+        # epochs don't re-synthesize (augmentation happens in the loader).
+        # The cache dict is SHARED process-wide between instances with
+        # identical constructor params (benchmark sweeps build the same
+        # corpus once per run; at 256 spk x 100 utt synthesis costs ~5 min)
+        if cache:
+            key = (
+                n_speakers, utterances_per_speaker, sample_rate,
+                float(min_seconds), float(max_seconds), seed,
+                None if formant_jitter is None else float(formant_jitter),
+                (float(f0_range[0]), float(f0_range[1])),
+                float(pitch_jitter), float(noise_level), float(reverb_prob),
+            )
+            self._cache: Optional[Dict[int, Tuple]] = (
+                _SHARED_SYNTH_CACHES.setdefault(key, {})
+            )
+        else:
+            self._cache = None
         rng = np.random.default_rng(seed)
         self._f0 = rng.uniform(f0_range[0], f0_range[1], n_speakers)
         if formant_jitter is None:
