@@ -10,8 +10,15 @@ minDCF per run into RESULTS.md + summary.json.
 Runs serially (only one process may hold the TPU):
 
     python docs/eer_bench/run_eer_bench.py
+
+Head-to-head mode (VERDICT r3 item 2): ``--head2head`` instead runs the
+titanet_tpu side of the reference-torch comparison — the SAME corpus,
+splits, and all-pairs protocol as docs/eer_bench/run_reference_torch.py
+at the same reduced 12-epoch budget — and writes both sides' bands to
+docs/eer_bench/HEAD2HEAD.md (ledger: head2head.json, tpu_* keys).
 """
 
+import argparse
 import json
 import os
 import sys
@@ -255,6 +262,104 @@ def run_one(name, overrides):
     test = _read_test_row(name) or {}
     return {"run": name, "eer": test.get("test/eer"),
             "mindcf": test.get("test/mindcf"), **overrides}
+
+
+H2H_EPOCHS = 12
+H2H_LEDGER = os.path.join(OUT_DIR, "head2head.json")
+
+
+def _h2h_band(ledger, side, loss):
+    import numpy as np
+
+    vals = [v["eer"] for k, v in ledger.items()
+            if k.startswith(f"{side}_{loss}_seed") and v.get("eer") is not None
+            and k.endswith(f"_e{H2H_EPOCHS}")]
+    return (np.mean(vals), np.std(vals), len(vals)) if vals else None
+
+
+def write_head2head(ledger):
+    """HEAD2HEAD.md: reference-torch vs titanet_tpu EER at the same
+    12-epoch budget on the identical hard-synth corpus + protocol."""
+    lines = [
+        "# Head-to-head: reference trainer (torch CPU) vs titanet_tpu",
+        "",
+        "Same corpus (hard-synth, 64 spk x 30 utt, seed 1234), same splits",
+        "(34 train spk x 20 utt after 10/spk val; 30 held-out test spk x 20",
+        "utt), same all-pairs cosine protocol, same reduced 12-epoch budget.",
+        "The reference side trains the reference's OWN TitaNet + losses",
+        "(imported read-only from /root/reference/src, loop math of",
+        "src/learn.py:204-310) via run_reference_torch.py at ~2 utt/s on",
+        "this 1-core CPU host; the titanet_tpu side runs this file's",
+        "--head2head mode on one TPU v5e chip. This closes the only",
+        "BASELINE.md axis (EER parity) that previously rested on",
+        "forward-embedding parity alone (PARITY.md).",
+        "",
+        "| config | reference torch EER | titanet_tpu EER |",
+        "|---|---|---|",
+    ]
+    for loss in ("ce", "arc"):
+        cells = []
+        for side in ("ref_torch", "tpu"):
+            b = _h2h_band(ledger, side, loss)
+            cells.append(f"{b[0]:.3f} ± {b[1]:.3f} (n={b[2]})" if b else "—")
+        lines.append(f"| TitaNet-S {loss} 12e | {cells[0]} | {cells[1]} |")
+    lines.append("")
+    for loss in ("ce", "arc"):
+        ref_b, tpu_b = (_h2h_band(ledger, "ref_torch", loss),
+                        _h2h_band(ledger, "tpu", loss))
+        if not (ref_b and tpu_b):
+            continue
+        spread = max(ref_b[1], tpu_b[1], 0.005)
+        delta = tpu_b[0] - ref_b[0]
+        if delta <= 2 * spread:
+            verdict = ("PARITY or better — titanet_tpu trains to the "
+                       "reference's quality band on identical data")
+        else:
+            verdict = (f"GAP of {delta:.3f} EER vs the reference band — "
+                       "investigate (loop math, aug gating, or BN semantics)")
+        lines.append(
+            f"- {loss}: ref {ref_b[0]:.3f} ± {ref_b[1]:.3f} vs tpu "
+            f"{tpu_b[0]:.3f} ± {tpu_b[1]:.3f} (Δ {delta:+.3f}): {verdict}."
+        )
+    lines += [
+        "",
+        "Per-run ledger: head2head.json (ref_torch_* written by",
+        "run_reference_torch.py, tpu_* by run_eer_bench.py --head2head).",
+    ]
+    with open(os.path.join(OUT_DIR, "HEAD2HEAD.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+def main_head2head():
+    ledger = {}
+    if os.path.exists(H2H_LEDGER):
+        with open(H2H_LEDGER) as f:
+            ledger = json.load(f)
+    for loss in ("ce", "arc"):
+        for seed in (42, 43, 44):
+            key = f"tpu_{loss}_seed{seed}_e{H2H_EPOCHS}"
+            if key in ledger:
+                print(f"[skip] {key}: eer={ledger[key]['eer']}", flush=True)
+                continue
+            name = f"h2h_{loss}_seed{seed}"
+            print(f"[run] {key}", flush=True)
+            row = run_one(name, {
+                "training.loss": loss,
+                "generic.seed": seed,
+                "training.epochs": H2H_EPOCHS,
+                # device-resident corpus: descriptor batches instead of
+                # per-step waveform uploads through the relay (same batch
+                # composition/RNG streams; int16 PCM quantization only)
+                "generic.device_corpus": True,
+            })
+            ledger[key] = {"loss": loss, "seed": seed, "epochs": H2H_EPOCHS,
+                           "eer": row["eer"], "mindcf": row["mindcf"]}
+            if row.get("diverged"):
+                ledger[key]["diverged"] = True
+            with open(H2H_LEDGER, "w") as f:
+                json.dump(ledger, f, indent=2)
+    write_head2head(ledger)
 
 
 def main():
@@ -505,4 +610,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--head2head", action="store_true",
+                    help="run the titanet_tpu side of the reference-torch "
+                         "head-to-head (12-epoch budget) instead of the "
+                         "full benchmark sweep")
+    if ap.parse_args().head2head:
+        main_head2head()
+    else:
+        main()

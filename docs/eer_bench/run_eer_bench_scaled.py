@@ -32,11 +32,19 @@ SEEDS = (42, 43, 44)
 
 
 def _runs():
-    # Seed-major order: complete seed 42 for EVERY config, then 43, then
-    # 44 — an interrupted campaign still leaves comparable bands at n
-    # completed seeds. Within a seed, ce_ema precedes distill (teacher
-    # checkpoint dependency).
-    runs = []
+    # Priority order (each scaled run costs ~30-60 min on the one chip;
+    # an interrupted campaign should have answered the most important
+    # question first): (1) the full 3-seed CE and Arc bands — the r3
+    # smoke regime INVERTED CE vs Arc vs the literature, and testing
+    # whether the scaled regime fixes that ranking is this benchmark's
+    # reason to exist; (2) every other config at seed 42 (n=1 family
+    # rows); (3) remaining seeds. Within a seed, ce_ema precedes
+    # distill (teacher checkpoint dependency).
+    core = []
+    for s in SEEDS:
+        core.append((f"s21_ce_seed{s}", {"training.loss": "ce", "generic.seed": s}))
+        core.append((f"s21_arc_seed{s}", {"training.loss": "arc", "generic.seed": s}))
+    runs = list(core)
     for s in SEEDS:
         runs.append((f"s21_ce_seed{s}", {"training.loss": "ce", "generic.seed": s}))
         runs.append((f"s21_arc_seed{s}", {"training.loss": "arc", "generic.seed": s}))
@@ -66,7 +74,12 @@ def _runs():
                                            "training.ema_decay": 0.99},
              "distill.alpha": 0.5},
         ))
-    return runs
+    seen, ordered = set(), []
+    for name, ov in runs:
+        if name not in seen:
+            seen.add(name)
+            ordered.append((name, ov))
+    return ordered
 
 
 def run_one_scaled(name, overrides):

@@ -311,3 +311,58 @@ def test_attentive_pool_fused_long_T_regression(t):
     for base in (4, 2):  # bf16 fwd base, f32 fwd base
         bt = max(1, min(base, (base * 310) // t))
         assert bt >= 1 and bt * t <= max(base * 310, t), (base, bt, t)
+
+
+@pytest.mark.parametrize("k", [3, 7, 11])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_depthwise_fused_bwd_matches_xla_grads(k, dtype):
+    """ops/pallas/dwconv.py: the single-pass Pallas backward must match
+    XLA's grouped-conv gradients (interpret mode off-TPU)."""
+    from titanet_tpu.ops.conv import conv1d_same
+    from titanet_tpu.ops.pallas.dwconv import depthwise_conv1d_fused_bwd
+
+    b, t, c = 3, 37, 128
+    key = jax.random.PRNGKey(k)
+    kx, kw, kb, kg = jax.random.split(key, 4)
+    x = jax.random.normal(kx, (b, t, c), dtype)
+    w = jax.random.normal(kw, (k, 1, c), jnp.float32) * 0.3
+    bias = jax.random.normal(kb, (c,), jnp.float32) * 0.1
+    g = jax.random.normal(kg, (b, t, c), dtype)
+
+    ref = lambda x, w, bias: jnp.sum(
+        conv1d_same(x, w, bias, groups=c).astype(jnp.float32) * g.astype(jnp.float32)
+    )
+    fused = lambda x, w, bias: jnp.sum(
+        depthwise_conv1d_fused_bwd(x, w, bias).astype(jnp.float32)
+        * g.astype(jnp.float32)
+    )
+    out_ref = conv1d_same(x, w, bias, groups=c)
+    out_fused = depthwise_conv1d_fused_bwd(x, w, bias)
+    np.testing.assert_allclose(out_fused, out_ref, rtol=0, atol=0)
+
+    gr = jax.grad(ref, argnums=(0, 1, 2))(x, w, bias)
+    gf = jax.grad(fused, argnums=(0, 1, 2))(x, w, bias)
+    tol = 1e-5 if dtype == jnp.float32 else 3e-2
+    for a, e, name in zip(gf, gr, ("dx", "dk", "db")):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(e, np.float32),
+            rtol=tol, atol=tol * np.abs(np.asarray(e)).max(),
+            err_msg=name,
+        )
+
+
+def test_depthwise_fused_bwd_routing_env(monkeypatch):
+    """TITANET_DW_BWD=pallas routes eligible bf16 depthwise convs in
+    SamePadConv1d; default stays on XLA (param tree unchanged)."""
+    from titanet_tpu.ops.conv import SamePadConv1d
+
+    x = jnp.ones((2, 16, 128), jnp.bfloat16)
+    mod = SamePadConv1d(features=128, kernel_size=3, groups=128,
+                        dtype=jnp.bfloat16)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    y_xla = mod.apply(params, x)
+    monkeypatch.setenv("TITANET_DW_BWD", "pallas")
+    y_pallas = mod.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(y_pallas, np.float32), np.asarray(y_xla, np.float32)
+    )

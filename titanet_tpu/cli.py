@@ -225,6 +225,37 @@ def _noise_mix_config(cfg: Config):
     )
 
 
+def _attach_device_corpus(cfg: Config, loaders):
+    """generic.device_corpus: build ONE flat int16 corpus on device for the
+    loaders' shared root dataset and switch them to descriptor batches
+    (data/device_corpus.py). Process-cached, so benchmark campaigns that
+    rebuild identical synthetic corpora re-use the uploaded array."""
+    import jax
+
+    if jax.process_count() > 1:
+        raise ValueError(
+            "generic.device_corpus is single-process; multi-host runs "
+            "shard the host loader instead (parallel/distributed.py)"
+        )
+    from titanet_tpu.data.device_corpus import (
+        DeviceCorpus,
+        corpus_cache_key,
+        resolve_base,
+    )
+
+    roots = {id(resolve_base(l.dataset)[0]): resolve_base(l.dataset)[0]
+             for l in loaders}
+    corpora = {
+        rid: DeviceCorpus.build(
+            root, cfg.audio.sample_rate, cache_key=corpus_cache_key(root)
+        )
+        for rid, root in roots.items()
+    }
+    for loader in loaders:
+        root, _ = resolve_base(loader.dataset)
+        loader.attach_device_corpus(corpora[id(root)])
+
+
 def _cohort_loader(cfg: Config, train_ds):
     """Cohort loader for test-time S-norm/AS-norm score calibration
     (``test.score_norm``): a seeded sample of TRAIN-split utterances (train
@@ -346,6 +377,11 @@ def train(cfg: Config) -> None:
     cohort_loader, cohort_topk = (
         _cohort_loader(cfg, train_ds) if cfg.test.enabled else (None, None)
     )
+    if cfg.generic.device_corpus:
+        _attach_device_corpus(
+            cfg, [l for l in (train_loader, val_loader, test_loader,
+                              cohort_loader) if l is not None]
+        )
 
     model = build_model(cfg, dtype=dtype)
     head = build_head_from_config(cfg, n_speakers)

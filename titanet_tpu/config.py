@@ -332,6 +332,14 @@ class GenericConfig:
     # (src/datasets.py:283-294). Budget in MB of int16 PCM per loader.
     cache_waveforms: bool = False
     cache_budget_mb: int = 2048
+    # Device-resident corpus (data/device_corpus.py): upload the whole
+    # corpus as int16 PCM to device memory ONCE and gather/crop batch
+    # windows on device — per-step host->device traffic drops to a ~KB
+    # descriptor. For corpora that fit HBM (cap: 2^31 samples ~ 37 h @
+    # 16 kHz) with no host-side waveform augmentation (speed/reverb/
+    # noise-mix force the host loader; chunking + device-side
+    # SpecAugment/noise stay eligible). Single-process only.
+    device_corpus: bool = False
 
 
 @_register

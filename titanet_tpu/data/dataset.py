@@ -484,6 +484,8 @@ class SyntheticSpeakerDataset(SpeakerDataset):
             self._cache: Optional[Dict[int, Tuple]] = (
                 _SHARED_SYNTH_CACHES.setdefault(key, {})
             )
+            # content-identity key (device_corpus cross-run reuse)
+            self._synth_cache_key = key
         else:
             self._cache = None
         rng = np.random.default_rng(seed)

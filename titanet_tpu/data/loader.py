@@ -185,6 +185,10 @@ class DataLoader:
         self.epoch = 0
         self._rir_cache: dict = {}
         self._noise_cache: dict = {}
+        # Device-resident corpus mode (data/device_corpus.py): batches
+        # become tiny descriptors; waveform windows gather on device.
+        self._device_corpus = None
+        self._device_base_index = None
 
     def __len__(self):
         """Steps per epoch FOR THIS SHARD (drives the cosine schedule
@@ -201,6 +205,62 @@ class DataLoader:
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+
+    def attach_device_corpus(self, corpus):
+        """Switch this loader to device-resident mode: yield
+        :class:`titanet_tpu.data.device_corpus.DeviceBatch` descriptors
+        instead of host waveform arrays. Requires every waveform-
+        transforming HOST augmentation to be disabled (chunking is a
+        crop — expressible as a device window — and SpecAugment/noise
+        run device-side in the jitted step)."""
+        if self.speed.enabled or self.reverb.enabled or self.noise.enabled:
+            raise ValueError(
+                "device-resident corpus mode is incompatible with host-side "
+                "speed/reverb/noise augmentation (they transform waveforms "
+                "on the host); disable them or use the host loader"
+            )
+        from titanet_tpu.data.device_corpus import resolve_base
+
+        _root, base_index = resolve_base(self.dataset)
+        self._device_corpus = corpus
+        self._device_base_index = base_index
+
+    def _chunk_plan(self, n_samples: int, rng: np.random.Generator):
+        """RandomChunk draw (reference src/transforms.py:216-233): returns
+        ``(start, length)`` within an ``n_samples`` utterance. The SINGLE
+        source of truth for the chunk RNG stream — the host decode path
+        and the device-descriptor path must stay draw-for-draw identical."""
+        if self.chunk.enabled and n_samples / self.sample_rate > self.chunk.max_length:
+            length = int(rng.choice(self.chunk.lengths) * self.sample_rate)
+            length = min(length, n_samples)
+            start = int(rng.integers(0, n_samples - length + 1))
+            return start, length
+        return 0, n_samples
+
+    def _plan_one(self, idx: int, rng: np.random.Generator):
+        """Device-mode mirror of :meth:`_load_one`: same per-example RNG
+        stream, but only the crop coordinates are computed (no audio)."""
+        base = int(self._device_base_index[idx])
+        n = int(self._device_corpus.lengths[base])
+        start, length = self._chunk_plan(n, rng)
+        return (
+            int(self._device_corpus.offsets[base]) + start,
+            length,
+            int(self._device_corpus.speaker_ids[base]),
+        )
+
+    def _make_device_batch(self, plans):
+        from titanet_tpu.data.device_corpus import DeviceBatch
+
+        lengths = np.asarray([p[1] for p in plans], np.int64)
+        t = self._bucket_for(int(lengths.max()))
+        return DeviceBatch(
+            corpus=self._device_corpus,
+            starts=np.asarray([p[0] for p in plans], np.int64),
+            lengths=np.minimum(lengths, t).astype(np.int32),
+            speaker_ids=np.asarray([p[2] for p in plans], np.int32),
+            t=t,
+        )
 
     # -- internals ----------------------------------------------------------
     def _decoded(self, idx: int):
@@ -258,11 +318,8 @@ class DataLoader:
             rng.random() < self.noise.probability
         ):
             wav = self._apply_noise(wav, rng)
-        if self.chunk.enabled and len(wav) / self.sample_rate > self.chunk.max_length:
-            length = int(rng.choice(self.chunk.lengths) * self.sample_rate)
-            length = min(length, len(wav))  # chunk longer than utterance
-            start = rng.integers(0, len(wav) - length + 1)
-            wav = wav[start : start + length]
+        start, length = self._chunk_plan(len(wav), rng)
+        wav = wav[start : start + length]
         return wav, speaker_id
 
     def _apply_reverb(self, wav: np.ndarray, rng: np.random.Generator) -> np.ndarray:
@@ -389,6 +446,23 @@ class DataLoader:
             # and independent of decode order and of the shard count
             ex_rng = np.random.default_rng((self.seed, self.epoch, int(pos)))
             return self._load_one(int(idx), ex_rng)
+
+        if self._device_corpus is not None:
+            # device-resident mode: descriptors only — same batch membership
+            # (``order``/sharding above) and same per-example RNG streams
+            for b in my_batches:
+                idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+                plans = [
+                    self._plan_one(
+                        int(i),
+                        np.random.default_rng(
+                            (self.seed, self.epoch, b * self.batch_size + j)
+                        ),
+                    )
+                    for j, i in enumerate(idxs)
+                ]
+                yield self._make_device_batch(plans)
+            return
 
         pool = None
         if self.num_workers > 0:

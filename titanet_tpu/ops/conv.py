@@ -23,11 +23,19 @@ so training dynamics match the reference.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+def _dw_bwd_mode() -> str:
+    """Depthwise-backward routing: 'xla' (default) or 'pallas' (the fused
+    single-pass gradient kernel, ops/pallas/dwconv.py — opt-in while the
+    full-step A/B experiment is open; see BENCHMARKS.md)."""
+    return os.environ.get("TITANET_DW_BWD", "xla")
 
 
 def same_padding(length: int, kernel_size: int, stride: int, dilation: int) -> int:
@@ -175,6 +183,21 @@ class SamePadConv1d(nn.Module):
             if bias is not None:
                 out = out + bias.astype(out.dtype)
             return out
+        if (
+            self.groups == in_ch
+            and self.features == in_ch
+            and self.stride == 1
+            and self.dilation == 1
+            and self.use_bias
+            and _dw_bwd_mode() == "pallas"
+        ):
+            from titanet_tpu.ops.pallas.dwconv import (
+                depthwise_conv1d_fused_bwd,
+                kernel_supports,
+            )
+
+            if kernel_supports(x.shape[1], in_ch, self.kernel_size, x.dtype):
+                return depthwise_conv1d_fused_bwd(x, kernel, bias)
         # NOTE: two recorded negative results keep the grouped conv as-is.
         # (1) depthwise FORWARD as K shifted multiply-adds: faster in
         # isolation (0.013 vs 0.046 ms) but -24% in the full step (breaks

@@ -51,6 +51,18 @@ class NonFiniteLossError(RuntimeError):
 
 
 def _device_batch(batch: Batch, sharding=None):
+    from titanet_tpu.data.device_corpus import DeviceBatch
+
+    if isinstance(batch, DeviceBatch):
+        # device-resident corpus: the waveform window gathers on device
+        # from the ~KB descriptor (multi-host global-batch assembly keeps
+        # the host path — each host's shard is already device-local there)
+        if sharding is not None:
+            raise ValueError(
+                "device-resident corpus mode is single-process; disable "
+                "generic.device_corpus for multi-host runs"
+            )
+        return batch.gather()
     if sharding is not None:
         # multi-process: each host contributes its LOCAL batch as a shard
         # of the global logical batch (global batch = P * local batch);
@@ -140,7 +152,7 @@ def train_one_epoch(
         # masked zeroing — dropping them removes the scatter/while ops from
         # the jitted step (~1 ms/step at B=128, profile_train.py). jit caches
         # both variants; ragged batches keep exact per-length semantics.
-        uniform = int(batch.lengths.min()) == batch.waveform.shape[1]
+        uniform = int(batch.lengths.min()) == wav.shape[1]
         distill_kw = {}
         if teacher is not None:
             t_model, t_vars, t_alpha = teacher
