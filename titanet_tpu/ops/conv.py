@@ -33,8 +33,10 @@ from flax import linen as nn
 
 def _dw_bwd_mode() -> str:
     """Depthwise-backward routing: 'xla' (default) or 'pallas' (the fused
-    single-pass gradient kernel, ops/pallas/dwconv.py — opt-in while the
-    full-step A/B experiment is open; see BENCHMARKS.md)."""
+    single-pass gradient kernel, ops/pallas/dwconv.py). The full-step A/B
+    is CLOSED: Pallas measured 40.1 ms/step vs XLA's 25.4 at B=128 (TPU
+    v5e, same day) — XLA's grouped-conv gradients win; the kernel stays
+    opt-in for study only. See BENCHMARKS.md train-step ledger."""
     return os.environ.get("TITANET_DW_BWD", "xla")
 
 
