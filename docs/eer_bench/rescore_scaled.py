@@ -1,0 +1,186 @@
+"""Rescore scaled-regime (s21) checkpoints: cosine vs PLDA vs S/AS-norm.
+
+The smoke-regime rescoring verdicts were honest but below design regime:
+PLDA fit on 34 speakers measured ~parity (PLDA.md), AS-norm measured a
+small EER loss (SNORM.md). The scaled corpus (256 speakers; 216 in the
+train split) is the regime both backends are built for. This script
+restores each completed s21 run once, embeds the 40x40 test split, a
+train-split cohort, and a PLDA fit set from the SAME state, and compares
+
+    raw cosine | S-norm | AS-norm(top-100) | PLDA | rank-truncated PLDA
+
+on EER and minDCF(p=0.01). Writes RESCORE_v2.md next to this file.
+
+    python docs/eer_bench/rescore_scaled.py [--only PREFIX]
+
+Reference counterpart: none (the reference scores raw cosines only,
+/root/reference/src/learn.py:437-439); this measures what the extra
+backends buy where rankings transfer.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, REPO)
+OUT_DIR = os.path.dirname(os.path.abspath(__file__))
+CKPT_ROOT = os.path.join(REPO, "checkpoints", "eer_bench")
+CONFIG = os.path.join(REPO, "configs", "bench21_scaled_eer.yml")
+
+MAX_PLDA_TRAIN = 4096  # embedding budget for the PLDA fit (~19/spk x 216)
+
+
+def main():
+    import numpy as np
+
+    from run_eer_bench_scaled import _runs  # noqa: E402 (sibling module)
+
+    from titanet_tpu.cli import _cohort_loader, _rebuild_state, _synthetic_kwargs
+    from titanet_tpu.config import load_config
+    from titanet_tpu.data import ChunkConfig, DataLoader, Subset, get_datasets
+    from titanet_tpu.train import checkpoint as ckpt
+    from titanet_tpu.train import ema_eval_state, get_test_metrics
+    from titanet_tpu.train.loop import _embed_whole_utterances
+    from titanet_tpu.train.metrics import (
+        all_pairs_scores_labels,
+        cross_cosine_scores,
+        snorm_scores,
+    )
+    from titanet_tpu.train.plda import PLDA
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None, help="run-name prefix filter")
+    args = ap.parse_args()
+
+    rows = []
+    for name, overrides in _runs():
+        if args.only and not name.startswith(args.only):
+            continue
+        run_dir = os.path.join(CKPT_ROOT, name)
+        if not os.path.isdir(run_dir):
+            continue
+        overrides = dict(overrides)
+        overrides.pop("distill.enabled", None)  # eval-time rebuild only
+        overrides.pop("distill.teacher_checkpoint", None)
+        overrides.pop("distill.teacher_overrides", None)
+        overrides.pop("distill.alpha", None)
+        overrides["test.score_norm"] = "asnorm"  # cohort loader on
+        cfg = load_config(CONFIG, overrides)
+        train_ds, _, test_ds, n_speakers = get_datasets(
+            cfg.dataset.root, name=cfg.dataset.name,
+            val=cfg.validation.enabled,
+            val_utterances_per_speaker=cfg.validation.num_utterances_per_speaker,
+            test=True, test_speakers=cfg.test.num_speakers,
+            test_utterances_per_speaker=cfg.test.num_utterances_per_speaker,
+            **_synthetic_kwargs(cfg),
+        )
+        model, _, frontend, abstract = _rebuild_state(cfg, n_speakers)
+        state, epoch = ckpt.restore_latest(run_dir, abstract)
+        if state is None:
+            print(f"[skip] {name}: restore failed")
+            continue
+        state = ema_eval_state(state)
+        test_loader = DataLoader(
+            test_ds, batch_size=cfg.validation.batch_size, shuffle=False,
+            drop_last=False, chunk=ChunkConfig(enabled=False),
+            sample_rate=cfg.audio.sample_rate, seed=cfg.generic.seed,
+        )
+        cohort_loader, topk = _cohort_loader(cfg, train_ds)
+        rng = np.random.default_rng(cfg.generic.seed)
+        idx = rng.permutation(len(train_ds))[:MAX_PLDA_TRAIN].tolist()
+        plda_loader = DataLoader(
+            Subset(train_ds, idx), batch_size=cfg.validation.batch_size,
+            shuffle=False, drop_last=False, chunk=ChunkConfig(enabled=False),
+            sample_rate=cfg.audio.sample_rate, seed=cfg.generic.seed,
+        )
+        emb, spk = _embed_whole_utterances(
+            state, test_loader, model=model, frontend=frontend
+        )
+        cohort_emb, _ = _embed_whole_utterances(
+            state, cohort_loader, model=model, frontend=frontend
+        )
+        fit_emb, fit_spk = _embed_whole_utterances(
+            state, plda_loader, model=model, frontend=frontend
+        )
+        n_fit_spk = len(set(fit_spk))
+        plda = PLDA.fit(fit_emb, fit_spk)
+        plda_rank = PLDA.fit(fit_emb, fit_spk, rank=min(n_fit_spk - 1, 191))
+        scores_cos, labels = all_pairs_scores_labels(emb, spk)
+        cohort = cross_cosine_scores(emb, cohort_emb)
+        sq = scores_cos.reshape(len(spk), len(spk))
+        variants = {
+            "cosine": scores_cos,
+            "snorm": snorm_scores(sq, cohort, cohort).reshape(-1),
+            "asnorm": snorm_scores(sq, cohort, cohort, topk=topk).reshape(-1),
+            "plda": plda.score_pairs(emb).reshape(-1),
+            "plda_rank": plda_rank.score_pairs(emb).reshape(-1),
+        }
+        row = {
+            "run": name, "epoch": epoch,
+            "plda_train_utts": len(fit_emb),
+            "plda_train_speakers": int(n_fit_spk),
+            "cohort_size": len(cohort_emb),
+        }
+        for variant, s in variants.items():
+            m = get_test_metrics(
+                s, labels, mindcf_p_target=cfg.test.mindcf_p_target,
+                mindcf_c_fa=cfg.test.mindcf_c_fa,
+                mindcf_c_miss=cfg.test.mindcf_c_miss,
+            )
+            row[f"{variant}_eer"] = m["eer"]
+            row[f"{variant}_mindcf"] = m["mindcf"]
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+        write_results(rows)
+
+    if not rows:
+        print("no s21 checkpoints found")
+        return
+    write_results(rows)
+
+
+def write_results(rows):
+    import numpy as np
+
+    variants = ["cosine", "snorm", "asnorm", "plda", "plda_rank"]
+    lines = [
+        "# Scoring-backend rescoring at the scaled regime (RESCORE v2)",
+        "",
+        "Every completed s21 run (configs/bench21_scaled_eer.yml: 256",
+        "speakers, test 40x40 = ~62k target / ~2.5M total trials),",
+        "rescored from one restore + one embed per run. PLDA fit:",
+        f"{MAX_PLDA_TRAIN}-utterance budget over the 216 train-split",
+        "speakers (vs 34 at smoke scale — PLDA.md's below-design-regime",
+        "caveat); cohort: train-split utterances, AS-norm top-100.",
+        "",
+        "| run | EER cos | EER S | EER AS | EER PLDA | EER PLDAr "
+        "| DCF cos | DCF PLDA |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['run']} | {r['cosine_eer']:.3f} | {r['snorm_eer']:.3f} "
+            f"| {r['asnorm_eer']:.3f} | {r['plda_eer']:.3f} "
+            f"| {r['plda_rank_eer']:.3f} | {r['cosine_mindcf']:.3f} "
+            f"| {r['plda_mindcf']:.3f} |"
+        )
+    lines.append("")
+    for v in variants[1:]:
+        d = [r["cosine_eer"] - r[f"{v}_eer"] for r in rows]
+        lines.append(
+            f"- Mean EER delta (cosine - {v}): {np.mean(d):+.4f} "
+            f"(± {np.std(d):.4f}, n={len(d)}; positive = {v} better)."
+        )
+    d = [r["cosine_mindcf"] - r["plda_mindcf"] for r in rows]
+    lines.append(
+        f"- Mean minDCF delta (cosine - plda): {np.mean(d):+.4f} "
+        f"(± {np.std(d):.4f}, n={len(d)})."
+    )
+    with open(os.path.join(OUT_DIR, "RESCORE_v2.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()
