@@ -54,9 +54,19 @@ def main():
     ap.add_argument("--only", default=None, help="run-name prefix filter")
     args = ap.parse_args()
 
+    # Resumable: one JSON row per completed rescore; interrupted campaigns
+    # pick up where they left off (each row costs a restore + 3 embeds).
+    ledger_path = os.path.join(OUT_DIR, "rescore_v2.json")
     rows = []
+    done = {}
+    if os.path.exists(ledger_path):
+        rows = json.load(open(ledger_path))
+        done = {r["run"]: r for r in rows}
     for name, overrides in _runs():
         if args.only and not name.startswith(args.only):
+            continue
+        if name in done:
+            print(f"[skip] {name}: already rescored")
             continue
         run_dir = os.path.join(CKPT_ROOT, name)
         if not os.path.isdir(run_dir):
@@ -133,6 +143,8 @@ def main():
             row[f"{variant}_mindcf"] = m["mindcf"]
         print(json.dumps(row), flush=True)
         rows.append(row)
+        with open(ledger_path, "w") as f:
+            json.dump(rows, f, indent=1)
         write_results(rows)
 
     if not rows:

@@ -604,6 +604,24 @@ def main():
         "A nonzero, stable EER band — unlike the easy corpus's 0.0",
         "ceiling — so verification-quality regressions are detectable.",
     ]
+    # Reference-torch head-to-head band (VERDICT r3 item 2), sourced from
+    # head2head.json when the campaign has run — the reference's OWN
+    # modules + loop math on the identical corpus/splits/protocol.
+    if os.path.exists(H2H_LEDGER):
+        with open(H2H_LEDGER) as f:
+            h2h = json.load(f)
+        for loss in ("ce", "arc"):
+            rb = _h2h_band(h2h, "ref_torch", loss)
+            tb = _h2h_band(h2h, "tpu", loss)
+            if rb:
+                lines.append(
+                    f"- Reference torch trainer ({loss}, {H2H_EPOCHS} epochs,"
+                    f" identical corpus/protocol): EER {rb[0]:.3f} ± "
+                    f"{rb[1]:.3f} (n={rb[2]})"
+                    + (f"; titanet_tpu at the same budget: {tb[0]:.3f} ± "
+                       f"{tb[1]:.3f} (n={tb[2]})." if tb else
+                       " (titanet_tpu side: HEAD2HEAD.md).")
+                )
     with open(os.path.join(OUT_DIR, "RESULTS.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))

@@ -74,6 +74,18 @@ def _runs():
                                            "training.ema_decay": 0.99},
              "distill.alpha": 0.5},
         ))
+    # Margin-decomposition probe (explains the CE>Arc inversion): arc with
+    # m=0.1 and m=0.0 at seed 42. m=0.0 is pure s=30 normalized softmax —
+    # if it reaches the CE band, the gap is the margin penalty on a
+    # high-Bayes-error corpus; if it doesn't, the gap is feature/weight
+    # normalization itself (losing softmax's quality weighting on noisy
+    # utterances).
+    runs.append(("s21_arc_m01_seed42",
+                 {"training.loss": "arc", "generic.seed": 42,
+                  "loss.arc.margin": 0.1}))
+    runs.append(("s21_arc_m0_seed42",
+                 {"training.loss": "arc", "generic.seed": 42,
+                  "loss.arc.margin": 0.0}))
     seen, ordered = set(), []
     for name, ov in runs:
         if name not in seen:
@@ -152,6 +164,8 @@ def write_results(results):
         ("s21_conformer", "CE (MFA-Conformer)"),
         ("s21_ce_ema", "CE + weight EMA 0.99 (TitaNet-S)"),
         ("s21_distill", "distilled x-vector (CE+EMA teacher)"),
+        ("s21_arc_m01_", "Arc m=0.1 (TitaNet-S)"),
+        ("s21_arc_m0_", "Arc m=0.0 = s30 normalized softmax (TitaNet-S)"),
     ]:
         b = band(prefix)
         d = band(prefix, "mindcf")
@@ -160,6 +174,75 @@ def write_results(results):
                 f"- {label}: EER {b[0]:.3f} ± {b[1]:.3f}, "
                 f"minDCF {d[0]:.3f} ± {d[1]:.3f} (n={b[2]})."
             )
+
+    # Interpretation (generated — hand edits to this file are wiped on
+    # regeneration, so conclusions live in code, like RESULTS.md's).
+    ce, arc = band("s21_ce_seed"), band("s21_arc_seed")
+    conf, dist, xv = (band("s21_conformer"), band("s21_distill"),
+                      band("s21_xvector"))
+    lines.append("")
+    lines.append("## Interpretation")
+    lines.append("")
+    if ce and arc and ce[2] >= 3 and arc[2] >= 3:
+        sigma = abs(ce[0] - arc[0]) / max(
+            np.sqrt(ce[1] ** 2 / ce[2] + arc[1] ** 2 / arc[2]), 1e-9)
+        lines.append(
+            f"- CE vs Arc: the smoke-regime inversion (CE better) PERSISTS "
+            f"at 10x data ({sigma:.1f} sigma); it is a property of this "
+            f"hard-synth task family, not of corpus size. The reference's "
+            f"own torch trainer reproduces it on the identical corpus "
+            f"(docs/eer_bench/HEAD2HEAD.md), ruling out an implementation "
+            f"artifact."
+        )
+    def row(name):
+        for r in results:
+            if r["run"] == name and r.get("eer") is not None:
+                return r["eer"]
+        return None
+
+    ce42, arc42 = row("s21_ce_seed42"), row("s21_arc_seed42")
+    m01_42, m0_42 = row("s21_arc_m01_seed42"), row("s21_arc_m0_seed42")
+    if None not in (ce42, arc42, m01_42, m0_42):
+        # Margin decomposition at seed 42 (single-variable chain:
+        # CE -> +normalization+s=30 -> +m=0.1 -> +m=0.2).
+        gap = arc42 - ce42
+        from_norm = m0_42 - ce42       # normalization + s=30 alone
+        from_margin = arc42 - m0_42    # adding the m=0.2 margin
+        lines.append(
+            f"- Margin decomposition (seed 42): arc m=0.1 -> EER "
+            f"{m01_42:.3f}, m=0.0 (pure s=30 normalized softmax) -> "
+            f"{m0_42:.3f} vs CE {ce42:.3f} and arc m=0.2 {arc42:.3f}. "
+            f"Of the {gap:+.3f} CE->Arc gap, {from_norm:+.3f} comes from "
+            f"feature/weight normalization itself and {from_margin:+.3f} "
+            f"from the margin term."
+            + (
+                " The margin is the dominant cost: shrink or anneal it on "
+                "high-Bayes-error data."
+                if from_margin > max(from_norm, 0) else
+                " Normalization is the dominant cost: normalized softmax "
+                "discards the quality weighting un-normalized logits give "
+                "noisy utterances, which CE retains."
+            )
+        )
+    if conf and xv and dist:
+        lines.append(
+            f"- Family ranking shifts with data, as the literature "
+            f"predicts: MFA-Conformer, the worst family at smoke scale "
+            f"(bench18, data appetite), is now on par with the best "
+            f"(EER {conf[0]:.3f}); the distilled x-vector remains the "
+            f"best quality-per-train-cost point ({dist[0]:.3f} at 3.9x "
+            f"TitaNet-S training speed vs plain x-vector {xv[0]:.3f})."
+        )
+    lines.append(
+        "- minDCF(p=0.01) stays near-saturated for cosine scoring at "
+        "EER ~0.19 — mathematically forced: at a strict-FA operating "
+        "point a system with ~19% EER misses almost everything, so "
+        "normalized DCF -> 1. It becomes informative only below ~EER "
+        "0.05 (docs/eer_bench/rescore_mindcf.py measured the same at "
+        "smoke scale); model-family differences do show in the 0.95 -> "
+        "0.952-0.975 spread. RESCORE_v2.md measures whether PLDA moves "
+        "it at the design regime."
+    )
     with open(os.path.join(OUT_DIR, "RESULTS_v2.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
@@ -174,6 +257,10 @@ def main():
     ledger = _load_ledger()
     for name, overrides in _runs():
         if args.only and not name.startswith(args.only):
+            # Filtered out of *running*, but keep completed rows so the
+            # regenerated RESULTS_v2.md always covers the whole campaign.
+            if name in ledger:
+                results.append({"run": name, **ledger[name], **overrides})
             continue
         done = _read_test_row(name)
         if done is not None:

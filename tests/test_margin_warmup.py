@@ -169,3 +169,20 @@ def test_sub_centers_trains_end_to_end():
         optimizer=opt, frontend=FrontendConfig.from_ms(), renorm_head=True,
     )
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_margin_zero_is_normalized_softmax():
+    # make_arcface(margin=0) is the legitimate degenerate NormFace config
+    # (used by the docs/eer_bench margin-decomposition probe): the loss
+    # must equal plain softmax CE over s * cos(theta) logits.
+    emb, tgt = _data(seed=3)
+    head = make_arcface(5, margin=0.0, scale=30.0)
+    v = head.init(jax.random.key(1), emb, tgt)
+    norm_emb, _, loss = head.apply(v, emb, tgt)
+
+    w = v["params"]["weight"]
+    w = w / jnp.linalg.norm(w, axis=0, keepdims=True)
+    logits = 30.0 * (norm_emb @ w)
+    log_p = jax.nn.log_softmax(logits, axis=-1)
+    expected = -jnp.mean(log_p[jnp.arange(len(tgt)), tgt])
+    np.testing.assert_allclose(float(loss), float(expected), rtol=1e-5)

@@ -173,7 +173,7 @@ class CosFaceHead(AngularMarginHead):
 def make_cosface(n_classes, embedding_size=192, scale=64.0, margin=0.2, **kw):
     import numpy as np
 
-    assert 0 < margin < 1 - np.cos(np.pi / 4), "Margin out of bounds"
+    assert 0 <= margin < 1 - np.cos(np.pi / 4), "Margin out of bounds"
     return CosFaceHead(
         n_classes=n_classes, embedding_size=embedding_size, scale=scale, m3=margin, **kw
     )
@@ -184,7 +184,10 @@ class ArcFaceHead(AngularMarginHead):
 
 
 def make_arcface(n_classes, embedding_size=192, scale=64.0, margin=0.5, **kw):
-    assert 0 < margin < 1, "Margin out of bounds"
+    # margin=0 is a legitimate degenerate config (pure normalized softmax
+    # at scale s, i.e. NormFace) — used by the margin-decomposition probe
+    # in docs/eer_bench and as the natural endpoint of margin warmup.
+    assert 0 <= margin < 1, "Margin out of bounds"
     return ArcFaceHead(
         n_classes=n_classes, embedding_size=embedding_size, scale=scale, m2=margin, **kw
     )
