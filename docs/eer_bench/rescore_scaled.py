@@ -84,6 +84,7 @@ def main():
             val_utterances_per_speaker=cfg.validation.num_utterances_per_speaker,
             test=True, test_speakers=cfg.test.num_speakers,
             test_utterances_per_speaker=cfg.test.num_utterances_per_speaker,
+            exclusive_test_speakers=cfg.test.exclusive_speakers,
             **_synthetic_kwargs(cfg),
         )
         model, _, frontend, abstract = _rebuild_state(cfg, n_speakers)
@@ -163,9 +164,16 @@ def write_results(rows):
         "Every completed s21 run (configs/bench21_scaled_eer.yml: 256",
         "speakers, test 40x40 = ~62k target / ~2.5M total trials),",
         "rescored from one restore + one embed per run. PLDA fit:",
-        f"{MAX_PLDA_TRAIN}-utterance budget over the 216 train-split",
-        "speakers (vs 34 at smoke scale — PLDA.md's below-design-regime",
-        "caveat); cohort: train-split utterances, AS-norm top-100.",
+        f"{MAX_PLDA_TRAIN}-utterance budget over the train split — which,",
+        "under the reference's own split semantics (src/datasets.py:",
+        "204-217), spans ALL 256 speakers: 216 train-only plus the 40",
+        "test speakers' 55 surplus (non-test, disjoint) utterances each.",
+        "So PLDA and the cohort see the test speakers' IDENTITIES (not",
+        "their test utterances) — a closed-set advantage that inflates",
+        "the PLDA win vs a true open-set protocol",
+        "(test.exclusive_speakers). Fit regime: 256 speakers vs 34 at",
+        "smoke scale (PLDA.md's below-design-regime caveat); cohort:",
+        "train-split utterances, AS-norm top-100.",
         "",
         "| run | EER cos | EER S | EER AS | EER PLDA | EER PLDAr "
         "| DCF cos | DCF PLDA |",

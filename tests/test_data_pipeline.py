@@ -39,6 +39,50 @@ def test_splits_match_reference_semantics(ds):
         assert utts[2] in test and utts[3] in test
 
 
+def test_splits_default_keeps_test_speaker_surplus_in_train(ds):
+    """Pin the reference's closed-set property (src/datasets.py:204-217):
+    a test speaker's utterances beyond val+test stay in TRAIN."""
+    train, _, test = ds.get_splits(
+        val_utterances_per_speaker=2, test_speakers=3, test_utterances_per_speaker=2
+    )
+    for s in ds.speakers[:3]:
+        surplus = ds.speakers_utterances[s][4:]  # beyond 2 val + 2 test
+        assert surplus and set(surplus) <= set(train)
+
+
+def test_splits_exclusive_test_speakers_are_unseen(ds):
+    """Open-set extension: exclusive_test_speakers=True removes test
+    speakers entirely from train AND val, without changing which
+    utterances form the test split."""
+    train_d, val_d, test_d = ds.get_splits(
+        val_utterances_per_speaker=2, test_speakers=3, test_utterances_per_speaker=2
+    )
+    train, val, test = ds.get_splits(
+        val_utterances_per_speaker=2, test_speakers=3,
+        test_utterances_per_speaker=2, exclusive_test_speakers=True,
+    )
+    assert test == test_d  # identical test utterances in both modes
+    held_out = {u for s in ds.speakers[:3] for u in ds.speakers_utterances[s]}
+    assert not set(train) & held_out and not set(val) & held_out
+    # non-test speakers are split identically
+    kept = {u for s in ds.speakers[3:] for u in ds.speakers_utterances[s]}
+    assert set(train) & kept == set(train_d) & kept
+    assert set(val) & kept == set(val_d) & kept
+
+
+def test_get_datasets_exclusive_routing(ds):
+    from titanet_tpu.data import get_datasets
+
+    tr, va, te, n = get_datasets(
+        ".", name="synthetic", n_speakers=6, utterances_per_speaker=10,
+        val_utterances_per_speaker=2, test_speakers=3,
+        test_utterances_per_speaker=2, exclusive_test_speakers=True,
+    )
+    test_spk, train_spk, val_spk = set(te.speakers), set(tr.speakers), set(va.speakers)
+    assert len(test_spk) == 3
+    assert not test_spk & train_spk and not test_spk & val_spk
+
+
 def test_loader_determinism_and_buckets(ds):
     loader = DataLoader(ds, batch_size=8, seed=7,
                         chunk=ChunkConfig(max_length=1.5, enabled=True), prefetch=0)

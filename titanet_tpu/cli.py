@@ -311,6 +311,7 @@ def train(cfg: Config) -> None:
         test=cfg.test.enabled,
         test_speakers=cfg.test.num_speakers,
         test_utterances_per_speaker=cfg.test.num_utterances_per_speaker,
+        exclusive_test_speakers=cfg.test.exclusive_speakers,
         **ds_kwargs,
     )
     if cfg.dumb.enabled:  # reference smoke-test mode (src/train.py:59-60)
@@ -557,6 +558,7 @@ def evaluate_checkpoint(cfg: Config, checkpoint_dir: str, epoch: Optional[int] =
         test=True,
         test_speakers=cfg.test.num_speakers,
         test_utterances_per_speaker=cfg.test.num_utterances_per_speaker,
+        exclusive_test_speakers=cfg.test.exclusive_speakers,
         **_synthetic_kwargs(cfg),
     )
     model, head, frontend, abstract = _rebuild_state(cfg, n_speakers)
@@ -624,6 +626,7 @@ def infer_checkpoint(
         test=True,
         test_speakers=cfg.test.num_speakers,
         test_utterances_per_speaker=cfg.test.num_utterances_per_speaker,
+        exclusive_test_speakers=cfg.test.exclusive_speakers,
         **_synthetic_kwargs(cfg),
     )
     model, head, frontend, abstract = _rebuild_state(cfg, n_speakers)
@@ -724,6 +727,7 @@ def trials_checkpoint(
         test=True,
         test_speakers=cfg.test.num_speakers,
         test_utterances_per_speaker=cfg.test.num_utterances_per_speaker,
+        exclusive_test_speakers=cfg.test.exclusive_speakers,
         **_synthetic_kwargs(cfg),
     )
     model, head, frontend, abstract = _rebuild_state(cfg, n_speakers)

@@ -147,11 +147,21 @@ class TestConfig:
     mindcf_c_miss: float = 1.0
     num_speakers: int = 10
     num_utterances_per_speaker: int = 10
+    # Open-set protocol (beyond the reference): when true, test speakers
+    # contribute ONLY their test utterances — nothing to train/val — so
+    # verification measures unseen identities. The reference's split
+    # (default, false) leaves a test speaker's surplus utterances in the
+    # TRAIN split (src/datasets.py:204-217), which makes verification
+    # closed-set whenever utterances/speaker > val_ups + test_ups.
+    exclusive_speakers: bool = False
     # Verification score normalization (beyond the reference): "none",
     # "snorm" (symmetric S-norm over the full cohort), or "asnorm"
     # (adaptive: per-embedding top-K cohort statistics). The cohort is
-    # `cohort_size` utterances sampled from the TRAIN split (disjoint
-    # from test speakers by the split protocol).
+    # `cohort_size` utterances sampled from the TRAIN split. NOTE: under
+    # the default (reference-parity) split the train split may contain
+    # surplus utterances of test SPEAKERS (see exclusive_speakers above),
+    # so the cohort is only speaker-disjoint from test when
+    # exclusive_speakers is true or the corpus has no surplus.
     score_norm: str = "none"
     cohort_size: int = 256
     asnorm_topk: int = 100

@@ -102,22 +102,42 @@ class SpeakerDataset:
         test: bool = True,
         test_speakers: int = 10,
         test_utterances_per_speaker: int = 10,
+        exclusive_test_speakers: bool = False,
     ):
         """Deterministic per-speaker train/val/test split
-        (reference src/datasets.py:191-229)."""
+        (reference src/datasets.py:191-229).
+
+        Reference semantics (the default): a test speaker's utterances
+        BEYOND ``val + test`` per speaker remain in the TRAIN split
+        (reference src/datasets.py:204-217) — so whenever a corpus has
+        more utterances per speaker than ``val_ups + test_ups``, test
+        speakers are *seen* during training (closed-set verification).
+        ``exclusive_test_speakers=True`` is the open-set extension the
+        reference lacks: test speakers contribute ONLY their test
+        utterances — nothing to train or val — so verification measures
+        generalization to unseen identities.
+        """
         test_spk = set(self._test_split_speaker_order()[:test_speakers])
         train_utt, val_utt, test_utt = [], [], []
         for s in self.speakers:
             start = 0
-            if val:
+            is_test_spk = test and s in test_spk
+            if val and not (is_test_spk and exclusive_test_speakers):
                 val_utt += self.speakers_utterances[s][:val_utterances_per_speaker]
                 start += val_utterances_per_speaker
-            if test and s in test_spk:
+            elif val:
+                # exclusive test speaker: skip the val slice but keep the
+                # utterance offsets identical so the TEST split is the
+                # same set of utterances in both modes.
+                start += val_utterances_per_speaker
+            if is_test_spk:
                 test_utt += self.speakers_utterances[s][
                     val_utterances_per_speaker : val_utterances_per_speaker
                     + test_utterances_per_speaker
                 ]
                 start += test_utterances_per_speaker
+                if exclusive_test_speakers:
+                    continue  # nothing from this speaker reaches train
             train_utt += self.speakers_utterances[s][start:]
         assert (not val or len(val_utt) > 0) and (not test or len(test_utt) > 0), (
             "No validation or test utterances"
@@ -571,6 +591,7 @@ def get_datasets(
     test: bool = True,
     test_speakers: int = 10,
     test_utterances_per_speaker: int = 10,
+    exclusive_test_speakers: bool = False,
     **kwargs,
 ):
     """Build (train, val, test, n_speakers) like reference get_datasets
@@ -618,6 +639,7 @@ def get_datasets(
         test=test,
         test_speakers=test_speakers,
         test_utterances_per_speaker=test_utterances_per_speaker,
+        exclusive_test_speakers=exclusive_test_speakers,
     )
     return (
         Subset(full, train_utt),
