@@ -39,6 +39,7 @@ from titanet_tpu.train.loop import run_verification, training_loop
 from titanet_tpu.utils import (
     ConsoleLogger,
     JsonlLogger,
+    TensorBoardLogger,
     WandbLogger,
     enable_compilation_cache,
     set_seed,
@@ -464,6 +465,10 @@ def train(cfg: Config) -> None:
         project=cfg.wandb.project, entity=cfg.wandb.entity or None,
         name=run_name, config=cfg.to_dict(),
     )
+    tb = TensorBoardLogger(
+        os.path.join(cfg.generic.tensorboard_dir, run_name)
+        if cfg.generic.tensorboard_dir else None
+    )
 
     training_loop(
         run_name,
@@ -492,6 +497,7 @@ def train(cfg: Config) -> None:
         console=console,
         jsonl=jsonl,
         wandb=wandb,
+        tb=tb,
         batch_sharding=sharding,
         cohort_loader=cohort_loader,
         cohort_topk=cohort_topk,

@@ -342,6 +342,11 @@ class GenericConfig:
     # (src/datasets.py:283-294). Budget in MB of int16 PCM per loader.
     cache_waveforms: bool = False
     cache_budget_mb: int = 2048
+    # TensorBoard event-file logging directory ("" = disabled). Unlike
+    # W&B this sink is fully local (utils/tb_events.py writes stock
+    # events.out.tfevents.* files with no tensorflow dependency); events
+    # land under <tensorboard_dir>/<run_name>.
+    tensorboard_dir: str = ""
     # Device-resident corpus (data/device_corpus.py): upload the whole
     # corpus as int16 PCM to device memory ONCE and gather/crop batch
     # windows on device — per-step host->device traffic drops to a ~KB

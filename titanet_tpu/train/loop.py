@@ -43,7 +43,13 @@ from titanet_tpu.train.state import (
     init_metrics_acc,
     train_step,
 )
-from titanet_tpu.utils.logging import ConsoleLogger, JsonlLogger, StepTimer, WandbLogger
+from titanet_tpu.utils.logging import (
+    ConsoleLogger,
+    JsonlLogger,
+    StepTimer,
+    TensorBoardLogger,
+    WandbLogger,
+)
 
 
 class NonFiniteLossError(RuntimeError):
@@ -381,6 +387,7 @@ def training_loop(
     console: Optional[ConsoleLogger] = None,
     jsonl: Optional[JsonlLogger] = None,
     wandb: Optional[WandbLogger] = None,
+    tb: Optional[TensorBoardLogger] = None,
     batch_sharding=None,
     cohort_loader: Optional[DataLoader] = None,  # train-split utterances
     cohort_topk: Optional[int] = None,           # for AS-norm test scoring
@@ -394,6 +401,7 @@ def training_loop(
     console = console or ConsoleLogger(enabled=False)
     jsonl = jsonl or JsonlLogger(None)
     wandb = wandb or WandbLogger(enabled=False)
+    tb = tb or TensorBoardLogger(None)
     run_ckpt_path = os.path.join(checkpoints_path, run_name)
     figures_dir = os.path.join(figures_path, run_name) if figures_path else None
     if figures_dir:
@@ -434,8 +442,10 @@ def training_loop(
             # reference pushes each epoch's embedding figure into the W&B
             # run (src/learn.py:401-406)
             wandb.log_image("train/embeddings", fig_path, step=epoch)
+            tb.log_image("train/embeddings", fig_path, step=epoch)
         jsonl.log(metrics, step=epoch)
         wandb.log(metrics, step=epoch)
+        tb.log(metrics, step=epoch)
 
         if checkpoints_frequency and epoch % checkpoints_frequency == 0:
             ckpt.save_checkpoint(run_ckpt_path, epoch, state)
@@ -461,8 +471,10 @@ def training_loop(
                     save=val_fig,
                 )
                 wandb.log_image("val/embeddings", val_fig, step=epoch)
+                tb.log_image("val/embeddings", val_fig, step=epoch)
             jsonl.log(val_metrics, step=epoch)
             wandb.log(val_metrics, step=epoch)
+            tb.log(val_metrics, step=epoch)
 
             # best-checkpoint tracking + early stopping (new vs reference,
             # SURVEY.md §2.4: "no early stopping"). Best lives at step 0
@@ -497,6 +509,7 @@ def training_loop(
             calibrate=calibrate,
         )
         jsonl.log(test_metrics, step=epochs)
+        tb.log(test_metrics, step=epochs)
         import json as _json
 
         wandb.set_notes(_json.dumps(test_metrics, indent=2))

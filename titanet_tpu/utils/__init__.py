@@ -4,6 +4,7 @@ from titanet_tpu.utils.logging import (  # noqa: F401
     ConsoleLogger,
     JsonlLogger,
     StepTimer,
+    TensorBoardLogger,
     WandbLogger,
 )
 

@@ -81,6 +81,36 @@ class JsonlLogger:
             f.write(json.dumps(record) + "\n")
 
 
+class TensorBoardLogger:
+    """TensorBoard event-file sink (beyond the reference, whose only
+    remote sink — W&B, src/utils.py:406-418 — needs a live server).
+    Writes stock ``events.out.tfevents.*`` files via the dependency-free
+    writer in tb_events.py; scalars and per-epoch embedding figures land
+    in ``<logdir>`` and are verifiable locally with
+    ``tb_events.read_events``."""
+
+    def __init__(self, logdir: Optional[str]):
+        self.writer = None
+        if logdir:
+            from titanet_tpu.utils.tb_events import EventFileWriter
+
+            self.writer = EventFileWriter(logdir)
+
+    def log(self, metrics: Dict, step: Optional[int] = None):
+        if self.writer is not None:
+            self.writer.add_scalars(metrics, step=step or 0)
+            self.writer.flush()
+
+    def log_image(self, key: str, path: str, step: Optional[int] = None):
+        if self.writer is not None:
+            self.writer.add_image(key, path, step=step or 0)
+            self.writer.flush()
+
+    def finish(self):
+        if self.writer is not None:
+            self.writer.close()
+
+
 class WandbLogger:
     """W&B adapter (reference init_wandb, src/utils.py:406-418). Degrades to
     a no-op when the wandb package or API key is unavailable."""
