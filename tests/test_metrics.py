@@ -16,6 +16,7 @@ from titanet_tpu.train.metrics import (
     all_pairs_scores_labels,
     compute_eer,
     compute_mindcf,
+    det_curve,
     get_test_metrics,
     get_train_val_metrics,
 )
@@ -204,3 +205,33 @@ def test_all_pairs_with_cohort_runs():
     np.testing.assert_array_equal(l_raw, l_norm)
     assert s_norm.shape == s_raw.shape
     assert not np.allclose(s_norm, s_raw)
+
+
+def test_det_curve_sweep_matches_scalar_metrics():
+    """det_curve's (fpr, fnr) sweep must contain the EER crossing and be
+    monotone in opposite directions along ascending thresholds."""
+    rng = np.random.default_rng(0)
+    scores = np.concatenate([rng.normal(1.0, 1.0, 400),   # target
+                             rng.normal(-1.0, 1.0, 1600)])  # nontarget
+    labels = np.concatenate([np.ones(400), np.zeros(1600)])
+    fprs, fnrs, thr = det_curve(scores, labels)
+    assert len(fprs) == len(fnrs) == len(thr) == len(scores)
+    assert np.all(np.diff(thr) >= 0)
+    # ascending threshold: FNR (misses) grows, FPR (false accepts) shrinks
+    assert np.all(np.diff(fnrs) >= -1e-12) and np.all(np.diff(fprs) <= 1e-12)
+    eer = compute_eer(scores, labels)
+    crossing = np.argmin(np.abs(fnrs - fprs))
+    assert abs((fnrs[crossing] + fprs[crossing]) / 2 - eer) < 5e-3
+
+
+def test_plot_det_curve_writes_png(tmp_path):
+    from titanet_tpu.utils.viz import plot_det_curve
+
+    rng = np.random.default_rng(1)
+    mk = lambda mu: (
+        np.concatenate([rng.normal(mu, 1.0, 100), rng.normal(-mu, 1.0, 300)]),
+        np.concatenate([np.ones(100), np.zeros(300)]),
+    )
+    out = tmp_path / "det.png"
+    fig = plot_det_curve({"cosine": mk(1.0), "plda": mk(1.5)}, save=str(out))
+    assert fig is not None and out.exists() and out.stat().st_size > 1000

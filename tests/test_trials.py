@@ -218,10 +218,12 @@ def test_evaluate_trials_end_to_end(tmp_path):
         frontend=cfg, buckets=[16000], batch_size=4,
     )
     scores_out = tmp_path / "scores.txt"
+    det_out = tmp_path / "det.png"
     metrics = evaluate_trials(
         str(trial_file), embedder, audio_root=str(tmp_path),
-        scores_out=str(scores_out),
+        scores_out=str(scores_out), det_out=str(det_out),
     )
+    assert det_out.exists() and det_out.stat().st_size > 1000
     assert metrics["n_trials"] == 7
     assert metrics["n_target"] == 4
     assert metrics["n_files"] == 6

@@ -707,6 +707,7 @@ def trials_checkpoint(
     cohort_npz: Optional[str] = None,
     cohort_topk: Optional[int] = None,
     scores_out: Optional[str] = None,
+    det_out: Optional[str] = None,
 ):
     """Score a standard trial list (VoxCeleb ``veri_test2.txt`` / Kaldi
     ``trials`` format) with a saved checkpoint — the field-standard
@@ -764,6 +765,7 @@ def trials_checkpoint(
         c_fa=cfg.test.mindcf_c_fa,
         c_miss=cfg.test.mindcf_c_miss,
         scores_out=scores_out,
+        det_out=det_out,
     )
     print(
         f"[trials epoch {epoch}] eer={metrics['eer']:.4f} "
@@ -821,6 +823,8 @@ def main(argv: Optional[list] = None):
     p_trials.add_argument("--cohort-topk", type=int, default=None,
                           help="AS-norm: use only each side's top-K "
                           "cohort scores")
+    p_trials.add_argument("--det-out", default=None,
+                          help="write a DET-curve PNG for the trial scores")
     p_trials.add_argument("-o", "--scores-out", default=None,
                           help="write '<enroll> <test> <score>' lines")
     args = parser.parse_args(argv)
@@ -855,6 +859,7 @@ def main(argv: Optional[list] = None):
             cfg, args.checkpoint_dir, args.trial_file, args.epoch,
             audio_root=args.audio_root, cohort_npz=args.cohort,
             cohort_topk=args.cohort_topk, scores_out=args.scores_out,
+            det_out=args.det_out,
         )
 
 

@@ -154,6 +154,19 @@ def compute_error_rates(
     return fnrs, fprs
 
 
+def det_curve(
+    scores: np.ndarray, labels: np.ndarray, eps: float = 1e-6
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(fprs, fnrs, thresholds) over ascending score thresholds — the
+    DET-curve sweep (beyond the reference, which reports scalar EER/minDCF
+    only, src/learn.py:437-459). Thresholds are the sorted scores; point i
+    is the operating point "accept iff score > thresholds[i]"."""
+    scores = np.asarray(scores, np.float64)
+    order = np.argsort(scores, kind="stable")
+    fnrs, fprs = compute_error_rates(scores, labels, eps=eps)
+    return fprs, fnrs, scores[order]
+
+
 def compute_mindcf(
     scores: np.ndarray,
     labels: np.ndarray,

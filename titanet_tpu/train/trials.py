@@ -215,6 +215,7 @@ def evaluate_trials(
     c_fa: float = 1.0,
     c_miss: float = 1.0,
     scores_out: Optional[str] = None,
+    det_out: Optional[str] = None,
 ) -> dict:
     """Trial file -> metrics, end to end.
 
@@ -237,6 +238,10 @@ def evaluate_trials(
     )
     if scores_out:
         write_scores(scores_out, enrolls, tests, scores)
+    if det_out:
+        from titanet_tpu.utils.viz import plot_det_curve
+
+        plot_det_curve((scores, labels), save=det_out)
     return {
         "eer": compute_eer(scores, labels),
         "mindcf": compute_mindcf(

@@ -165,3 +165,63 @@ def plot_spectrogram(spectrogram, figsize=(12, 3), save: Optional[str] = None,
     else:
         plt.close()
     return save
+
+
+def plot_det_curve(systems, figsize=(6, 6), save: Optional[str] = None,
+                   show: bool = False, min_rate: float = 1e-4):
+    """DET curve(s) on normal-deviate (probit) axes — the standard
+    speaker-verification plot (beyond the reference, which draws only
+    embedding scatters; its verification output is scalar EER/minDCF,
+    src/learn.py:437-459).
+
+    ``systems``: either ``(scores, labels)`` for one system or a dict
+    ``{name: (scores, labels)}`` to overlay several (e.g. cosine vs
+    PLDA backends). Each curve gets its EER point marked. Rates are
+    clipped to ``min_rate`` so empty error regions don't explode the
+    probit transform.
+    """
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+    except ImportError:
+        print("[viz disabled: matplotlib unavailable]")
+        return None
+    from scipy.stats import norm
+
+    from titanet_tpu.train.metrics import compute_eer, det_curve
+
+    if not isinstance(systems, dict):
+        systems = {"": systems}
+
+    fig, ax = plt.subplots(figsize=figsize)
+    ticks = [0.001, 0.01, 0.05, 0.1, 0.2, 0.4, 0.6, 0.8]
+    for name, (scores, labels) in systems.items():
+        fprs, fnrs, _ = det_curve(np.asarray(scores), np.asarray(labels))
+        fprs = np.clip(fprs, min_rate, 1 - min_rate)
+        fnrs = np.clip(fnrs, min_rate, 1 - min_rate)
+        eer = compute_eer(np.asarray(scores), np.asarray(labels))
+        label = f"{name} (EER {eer:.2%})".strip()
+        (line,) = ax.plot(norm.ppf(fprs), norm.ppf(fnrs), label=label)
+        e = norm.ppf(np.clip(eer, min_rate, 1 - min_rate))
+        ax.plot([e], [e], "o", color=line.get_color(), markersize=4)
+    lim = norm.ppf([min_rate, 1 - min_rate])
+    ax.plot(lim, lim, ":", color="gray", linewidth=0.8)  # EER diagonal
+    ax.set_xticks(norm.ppf(ticks))
+    ax.set_xticklabels([f"{t:g}" for t in ticks])
+    ax.set_yticks(norm.ppf(ticks))
+    ax.set_yticklabels([f"{t:g}" for t in ticks])
+    ax.set_xlim(norm.ppf(min_rate), norm.ppf(0.9))
+    ax.set_ylim(norm.ppf(min_rate), norm.ppf(0.9))
+    ax.set_xlabel("False acceptance rate")
+    ax.set_ylabel("False rejection rate")
+    ax.grid(True, linewidth=0.3)
+    ax.legend(loc="upper right", fontsize=8)
+    fig.tight_layout()
+    if save:
+        fig.savefig(save, dpi=120)
+    if show:  # pragma: no cover
+        plt.show()
+    plt.close(fig)
+    return fig
