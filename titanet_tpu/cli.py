@@ -507,6 +507,7 @@ def train(cfg: Config) -> None:
         mindcf_c_miss=cfg.test.mindcf_c_miss,
     )
     wandb.finish()
+    tb.finish()
 
 
 def _rebuild_state(cfg: Config, n_speakers: int):

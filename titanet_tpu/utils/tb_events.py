@@ -148,9 +148,11 @@ class EventFileWriter:
     def __init__(self, logdir: str, filename_suffix: str = ""):
         os.makedirs(logdir, exist_ok=True)
         host = socket.gethostname() or "localhost"
+        # pid uniquifier (like real TB writers): two writers created in the
+        # same second for the same logdir must not interleave one file.
         self.path = os.path.join(
             logdir, f"events.out.tfevents.{int(time.time())}.{host}"
-            f"{filename_suffix}"
+            f".{os.getpid()}{filename_suffix}"
         )
         self._f = open(self.path, "ab")
         # every event file starts with a version record
@@ -172,9 +174,17 @@ class EventFileWriter:
         ))
 
     def add_scalars(self, metrics: Dict[str, float], step: int = 0):
+        def _as_float(v):
+            # hasattr(v, "__float__") alone passes multi-element ndarrays,
+            # whose float() raises and would abort the whole record
+            try:
+                return float(v)
+            except (TypeError, ValueError):
+                return None
+
+        scalars = [(tag, _as_float(v)) for tag, v in metrics.items()]
         values = b"".join(
-            _summary_scalar(tag, float(v)) for tag, v in metrics.items()
-            if hasattr(v, "__float__")
+            _summary_scalar(tag, v) for tag, v in scalars if v is not None
         )
         if values:
             self._write_record(_event(time.time(), step=step,

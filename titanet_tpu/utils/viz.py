@@ -188,7 +188,11 @@ def plot_det_curve(systems, figsize=(6, 6), save: Optional[str] = None,
     except ImportError:
         print("[viz disabled: matplotlib unavailable]")
         return None
-    from scipy.stats import norm
+    try:
+        from scipy.stats import norm
+    except ImportError:
+        print("[viz disabled: scipy unavailable]")
+        return None
 
     from titanet_tpu.train.metrics import compute_eer, det_curve
 
