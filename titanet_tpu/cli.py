@@ -230,19 +230,33 @@ def _attach_device_corpus(cfg: Config, loaders):
     """generic.device_corpus: build ONE flat int16 corpus on device for the
     loaders' shared root dataset and switch them to descriptor batches
     (data/device_corpus.py). Process-cached, so benchmark campaigns that
-    rebuild identical synthetic corpora re-use the uploaded array."""
+    rebuild identical synthetic corpora re-use the uploaded array.
+
+    Multi-host: each process decodes and uploads ONLY its TRAIN loader's
+    static utterance slice (``device_shard_root_indices``), so per-host
+    HBM holds ~1/P of the corpus and per-step traffic is descriptor-sized
+    on every host. Val/test/cohort loaders stay host-fed there (they run
+    a handful of times per run; the train path is the per-step cost)."""
     import jax
 
-    if jax.process_count() > 1:
-        raise ValueError(
-            "generic.device_corpus is single-process; multi-host runs "
-            "shard the host loader instead (parallel/distributed.py)"
-        )
     from titanet_tpu.data.device_corpus import (
         DeviceCorpus,
         corpus_cache_key,
         resolve_base,
     )
+
+    if jax.process_count() > 1:
+        train_loader = loaders[0]  # train first by _attach call order
+        root, _ = resolve_base(train_loader.dataset)
+        shard_root = train_loader.device_shard_root_indices()
+        corpus = DeviceCorpus.build(
+            root, cfg.audio.sample_rate,
+            cache_key=corpus_cache_key(root)
+            + ("shard", jax.process_index(), jax.process_count()),
+            root_indices=shard_root,
+        )
+        train_loader.attach_device_corpus(corpus)
+        return
 
     roots = {id(resolve_base(l.dataset)[0]): resolve_base(l.dataset)[0]
              for l in loaders}

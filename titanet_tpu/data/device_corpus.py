@@ -57,18 +57,30 @@ def resolve_base(dataset):
 
 
 class DeviceCorpus:
-    """Flat int16 PCM corpus on device + host-side offset/length tables."""
+    """Flat int16 PCM corpus on device + host-side offset/length tables.
 
-    def __init__(self, flat_device, offsets, lengths, speaker_ids, sample_rate):
+    With ``root_indices`` (multi-host corpus sharding) only that subset of
+    the root dataset is decoded and uploaded; the host tables stay
+    root-indexed (``offsets[i] = -1`` marks an utterance this shard does
+    not own), so :meth:`titanet_tpu.data.loader.DataLoader._plan_one`
+    addresses owned utterances identically in both modes.
+    """
+
+    def __init__(self, flat_device, offsets, lengths, speaker_ids,
+                 sample_rate, n_owned=None):
         self.flat = flat_device  # jnp int16 [S + tail]
-        self.offsets = offsets  # np int64 [N]
+        self.offsets = offsets  # np int64 [N]; -1 = not on this shard
         self.lengths = lengths  # np int32 [N] samples per utterance
         self.speaker_ids = speaker_ids  # np int32 [N]
         self.sample_rate = sample_rate
+        self.n_owned = len(offsets) if n_owned is None else int(n_owned)
+
+    def owns(self, root_idx: int) -> bool:
+        return self.offsets[root_idx] >= 0
 
     @classmethod
     def build(cls, dataset, sample_rate: int, tail_pad: int = 400_000,
-              slab_bytes: int = 32 << 20, cache_key=None):
+              slab_bytes: int = 32 << 20, cache_key=None, root_indices=None):
         """Decode/synthesize every utterance of the ROOT dataset once
         (mono, resampled — the same decode path as the host loader),
         quantize to int16, upload as one flat device array.
@@ -77,6 +89,10 @@ class DeviceCorpus:
         utterance's window slice can never run off the end (mid-corpus
         overruns are zero-masked in :func:`gather_windows`, so no
         per-utterance padding is needed).
+
+        ``root_indices``: decode/upload ONLY these root-dataset indices
+        (per-host corpus shard for multi-host training — each host's HBM
+        holds ~1/P of the corpus).
         """
         if cache_key is not None and cache_key in _CORPUS_CACHE:
             return _CORPUS_CACHE[cache_key]
@@ -86,9 +102,12 @@ class DeviceCorpus:
         from titanet_tpu.data.loader import _resample_host
 
         n = len(dataset)
+        include = (np.arange(n, dtype=np.int64) if root_indices is None
+                   else np.asarray(sorted(set(int(i) for i in root_indices)),
+                                   np.int64))
         waves, lengths, speakers = [], np.zeros(n, np.int32), np.zeros(n, np.int32)
-        for i in range(n):
-            wav, sr, speaker = dataset.get_sample(i)
+        for i in include:
+            wav, sr, speaker = dataset.get_sample(int(i))
             wav = np.asarray(wav, np.float32)
             if wav.ndim == 2:
                 wav = wav.mean(axis=0) if wav.shape[0] > 1 else wav[0]
@@ -98,12 +117,15 @@ class DeviceCorpus:
             waves.append(q)
             lengths[i] = len(q)
             speakers[i] = dataset.speakers_to_id[speaker]
-        offsets = np.zeros(n, np.int64)
-        np.cumsum(lengths[:-1], out=offsets[1:])
-        total = int(offsets[-1]) + int(lengths[-1]) if n else 0
+        offsets = np.full(n, -1, np.int64)
+        pos = 0
+        for i, w in zip(include, waves):
+            offsets[i] = pos
+            pos += len(w)
+        total = pos
         flat = np.zeros(total + tail_pad, np.int16)
-        for off, w in zip(offsets, waves):
-            flat[int(off):int(off) + len(w)] = w
+        for i, w in zip(include, waves):
+            flat[int(offsets[i]):int(offsets[i]) + len(w)] = w
         del waves
         if len(flat) >= 2**31:
             # int32 window starts (XLA-friendly) cap the corpus at 2^31
@@ -116,7 +138,8 @@ class DeviceCorpus:
         parts = [jax.device_put(flat[a:a + slab]) for a in range(0, len(flat), slab)]
         flat_dev = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
         flat_dev.block_until_ready()
-        corpus = cls(flat_dev, offsets, lengths, speakers, sample_rate)
+        corpus = cls(flat_dev, offsets, lengths, speakers, sample_rate,
+                     n_owned=len(include))
         if cache_key is not None:
             _CORPUS_CACHE[cache_key] = corpus
         return corpus
@@ -176,6 +199,55 @@ class DeviceBatch:
             wav,
             jnp.asarray(self.lengths),
             jnp.asarray(self.speaker_ids),
+        )
+
+    def gather_global(self, sharding):
+        """Multi-host assembly: gather THIS host's ``[B_local, t]`` windows
+        on device, then stitch the per-process pieces into one global
+        ``[P * B_local, t]`` array under ``sharding`` — waveform bytes
+        never round-trip through the host (the point of device residency;
+        the descriptor-sized lengths/speaker_ids take the host path).
+
+        Convention (same as parallel.global_batch_array /
+        jax.make_array_from_process_local_data): the global batch is the
+        process-ordered concatenation of local batches, and the mesh's
+        device order is process-major, so process ``p`` owns global rows
+        ``[p * B_local, (p+1) * B_local)``.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from titanet_tpu.parallel import global_batch_array
+
+        wav_local = gather_windows(self.corpus, self.starts, self.lengths,
+                                   self.t)
+        if jax.process_count() == 1:
+            wav = jax.device_put(wav_local, sharding)
+        else:
+            b_local = wav_local.shape[0]
+            global_shape = (b_local * jax.process_count(),) + wav_local.shape[1:]
+            row0 = jax.process_index() * b_local
+            pieces = []
+            for dev, idx in sharding.addressable_devices_indices_map(
+                global_shape
+            ).items():
+                rows = idx[0]
+                lo = 0 if rows.start is None else rows.start
+                hi = global_shape[0] if rows.stop is None else rows.stop
+                assert row0 <= lo and hi <= row0 + b_local, (
+                    "batch sharding does not map this process's rows to its "
+                    "own devices; use a process-major data mesh"
+                )
+                pieces.append(
+                    jax.device_put(wav_local[lo - row0:hi - row0], dev)
+                )
+            wav = jax.make_array_from_single_device_arrays(
+                global_shape, sharding, pieces
+            )
+        return (
+            wav,
+            global_batch_array(sharding, np.asarray(self.lengths)),
+            global_batch_array(sharding, np.asarray(self.speaker_ids)),
         )
 
 

@@ -189,14 +189,19 @@ class DataLoader:
         # become tiny descriptors; waveform windows gather on device.
         self._device_corpus = None
         self._device_base_index = None
+        self._device_owned_local = None
 
     def __len__(self):
         """Steps per epoch FOR THIS SHARD (drives the cosine schedule
         length). With ``num_shards > 1``, whole batches are dealt
         round-robin and every shard gets the same count (remainder batches
-        dropped) so multi-host collectives stay in lockstep."""
+        dropped) so multi-host collectives stay in lockstep. Static
+        device-corpus sharding composes batches within each host's
+        utterance slice, equalized to ``(N // P) // B`` steps."""
         n = len(self.dataset)
         n_full = n // self.batch_size
+        if self._device_owned_local is not None:
+            return (n // self.num_shards) // self.batch_size
         if self.num_shards > 1:
             return n_full // self.num_shards
         if self.drop_last or self.balanced is not None:
@@ -212,7 +217,18 @@ class DataLoader:
         instead of host waveform arrays. Requires every waveform-
         transforming HOST augmentation to be disabled (chunking is a
         crop — expressible as a device window — and SpecAugment/noise
-        run device-side in the jitted step)."""
+        run device-side in the jitted step).
+
+        With ``num_shards > 1`` this becomes STATIC utterance sharding:
+        local index ``i`` belongs to shard ``i % num_shards`` and each
+        host composes its batches from its own slice only (so its corpus
+        shard — built from exactly those root indices — is the only HBM
+        it needs). This intentionally diverges from the host loader's
+        whole-batch round-robin dealing (where an utterance's host varies
+        per epoch, which would force every host to hold the full corpus);
+        both are unbiased epoch samplings, and step counts stay equalized
+        across hosts (``(N // P) // B`` each — collectives in lockstep).
+        """
         if self.speed.enabled or self.reverb.enabled or self.noise.enabled:
             raise ValueError(
                 "device-resident corpus mode is incompatible with host-side "
@@ -224,6 +240,33 @@ class DataLoader:
         _root, base_index = resolve_base(self.dataset)
         self._device_corpus = corpus
         self._device_base_index = base_index
+        self._device_owned_local = None
+        if self.num_shards > 1:
+            local = np.arange(len(self.dataset), dtype=np.int64)
+            owned = local[local % self.num_shards == self.shard_id]
+            missing = [int(i) for i in owned
+                       if corpus.offsets[int(base_index[i])] < 0]
+            if missing:
+                raise ValueError(
+                    f"device corpus shard is missing {len(missing)} owned "
+                    f"utterances (e.g. local idx {missing[:3]}); build it "
+                    "with root_indices = this loader's device_shard_root_"
+                    "indices()"
+                )
+            self._device_owned_local = owned
+
+    def device_shard_root_indices(self) -> np.ndarray:
+        """ROOT-dataset indices this loader's static device-corpus shard
+        must contain (see :meth:`attach_device_corpus`): the local indices
+        owned by ``shard_id`` under ``i % num_shards``, mapped through any
+        Subset views. Single-shard loaders own everything."""
+        from titanet_tpu.data.device_corpus import resolve_base
+
+        _root, base_index = resolve_base(self.dataset)
+        local = np.arange(len(self.dataset), dtype=np.int64)
+        if self.num_shards > 1:
+            local = local[local % self.num_shards == self.shard_id]
+        return np.asarray(base_index[local], np.int64)
 
     def _chunk_plan(self, n_samples: int, rng: np.random.Generator):
         """RandomChunk draw (reference src/transforms.py:216-233): returns
@@ -372,6 +415,23 @@ class DataLoader:
         return (wav + gain * seg).astype(np.float32)
 
     def _bucket_for(self, n: int) -> int:
+        """Padded width for a batch whose longest item is ``n`` samples.
+
+        Multi-host (``num_shards > 1``) with chunking: the width must be
+        HOST-INDEPENDENT — every process contributes its local slice of
+        one global array and the shapes must agree without communication
+        — so pad to the chunk-max bucket (chunk-truncated lengths never
+        exceed it; with B>=32 the local max is almost always the top
+        chunk anyway, so the extra padding is ~nil in practice).
+        Unchunked multi-host loaders feed per-host (non-global) eval
+        paths, where per-batch buckets stay safe.
+        """
+        if self.num_shards > 1 and self.chunk.enabled:
+            n = max(
+                n,
+                int(max(self.chunk.max_length, max(self.chunk.lengths))
+                    * self.sample_rate),
+            )
         for b in self.buckets:
             if n <= b:
                 return b
@@ -401,12 +461,25 @@ class DataLoader:
             for spk, utts in ds.speakers_utterances.items()
         }
 
-    def _balanced_order(self, rng: np.random.Generator) -> np.ndarray:
-        """N-speakers x M-utterances batch composition."""
+    def _balanced_order(self, rng: np.random.Generator, restrict=None,
+                        n_batches: Optional[int] = None) -> np.ndarray:
+        """N-speakers x M-utterances batch composition. ``restrict``
+        limits candidate utterances to a local-index subset (static
+        device-corpus sharding: each host draws only utterances it
+        owns); ``n_batches`` overrides the epoch batch count (multi-host
+        equalization)."""
         n_spk, m_utt = self.balanced
         by_speaker = self._speaker_map()
+        if restrict is not None:
+            allowed = set(int(i) for i in restrict)
+            by_speaker = {
+                s: [u for u in utts if u in allowed]
+                for s, utts in by_speaker.items()
+            }
+            by_speaker = {s: u for s, u in by_speaker.items() if u}
         speakers = sorted(by_speaker)
-        n_batches = len(self.dataset) // self.batch_size
+        if n_batches is None:
+            n_batches = len(self.dataset) // self.batch_size
         order = []
         for _ in range(n_batches):
             chosen = rng.choice(speakers, size=min(n_spk, len(speakers)),
@@ -417,7 +490,41 @@ class DataLoader:
                                         replace=len(utts) < m_utt).tolist())
         return np.asarray(order, np.int64)
 
+    def _iter_device_static_shard(self) -> Iterator[Batch]:
+        """Static-sharded device-corpus epoch (multi-host): this host
+        permutes ITS OWN utterance slice and yields descriptor batches.
+        Deterministic in ``(seed, epoch, shard_id)``; per-example RNG
+        streams are keyed by shard so no two hosts share a chunk-draw
+        stream."""
+        rng = np.random.default_rng(
+            (self.seed, self.epoch, self.shard_id, self.num_shards)
+        )
+        n_batches = (len(self.dataset) // self.num_shards) // self.batch_size
+        if self.balanced is not None:
+            order = self._balanced_order(
+                rng, restrict=self._device_owned_local, n_batches=n_batches
+            )
+        else:
+            owned = self._device_owned_local
+            order = owned[rng.permutation(len(owned))]
+        for b in range(n_batches):
+            idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+            plans = [
+                self._plan_one(
+                    int(i),
+                    np.random.default_rng(
+                        (self.seed, self.epoch, self.shard_id,
+                         b * self.batch_size + j)
+                    ),
+                )
+                for j, i in enumerate(idxs)
+            ]
+            yield self._make_device_batch(plans)
+
     def _iter_batches(self) -> Iterator[Batch]:
+        if self._device_owned_local is not None:
+            yield from self._iter_device_static_shard()
+            return
         rng = np.random.default_rng((self.seed, self.epoch))
         if self.balanced is not None:
             order = self._balanced_order(rng)

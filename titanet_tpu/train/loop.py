@@ -61,13 +61,11 @@ def _device_batch(batch: Batch, sharding=None):
 
     if isinstance(batch, DeviceBatch):
         # device-resident corpus: the waveform window gathers on device
-        # from the ~KB descriptor (multi-host global-batch assembly keeps
-        # the host path — each host's shard is already device-local there)
+        # from the ~KB descriptor. Sharded (mesh / multi-host) runs stitch
+        # the per-process gathers into the global batch device-side —
+        # waveform bytes never revisit the host (DeviceBatch.gather_global)
         if sharding is not None:
-            raise ValueError(
-                "device-resident corpus mode is single-process; disable "
-                "generic.device_corpus for multi-host runs"
-            )
+            return batch.gather_global(sharding)
         return batch.gather()
     if sharding is not None:
         # multi-process: each host contributes its LOCAL batch as a shard
