@@ -1,0 +1,194 @@
+"""Diarization quality benchmark: calibrated AHC threshold vs NME-SC
+(VERDICT r4 item 7 — "one quality lever beyond the embedder").
+
+Protocol:
+- Build conversations from the TEST split of a corpus tier by
+  concatenating utterances of k speakers in shuffled turn order (known
+  boundaries). DEV and TEST conversation sets use DISJOINT speaker
+  groups, so the calibrated threshold is measured out-of-sample.
+- Calibrate the AHC stop threshold on DEV
+  (train/diarize.py calibrate_ahc_threshold), then score TEST with:
+  NME-SC auto-k (the previous default), AHC at the uncalibrated 0.6
+  default, and AHC at the dev-calibrated threshold.
+- Two tiers: the hard scaled corpus (configs/bench21_scaled_eer.yml,
+  embedder s21_ecapa_seed42) and the easy tier
+  (configs/bench22_easy_eer.yml, embedder e22_ecapa_seed42 when the
+  easy campaign has produced it, else the hard-trained embedder in
+  domain transfer).
+
+Writes docs/diarize_bench/DER.md. One TPU process; run while the chip
+is free:
+
+    python docs/diarize_bench/run_der_bench.py
+"""
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, REPO)
+OUT_DIR = os.path.dirname(os.path.abspath(__file__))
+CKPT = os.path.join(REPO, "checkpoints", "eer_bench")
+
+SPK_PER_CONV = 4
+UTTS_PER_SPK = 3
+N_CONV = 5  # per dev/test set (5 x 4 = 20 speakers each, disjoint)
+
+
+def make_conversations(test_ds, sr, speaker_pool, n_conv, seed):
+    """``n_conv`` conversations over disjoint groups of SPK_PER_CONV
+    speakers from ``speaker_pool`` (test-split speaker ids); returns
+    ``[(waveform, [(start_s, end_s, local_spk)])]``."""
+    import numpy as np
+
+    by_speaker = {}
+    for i in range(len(test_ds)):
+        by_speaker.setdefault(test_ds[i]["speaker_id"], []).append(i)
+    rng = np.random.default_rng(seed)
+    convs = []
+    for c in range(n_conv):
+        group = speaker_pool[c * SPK_PER_CONV:(c + 1) * SPK_PER_CONV]
+        turns = []
+        for u in range(UTTS_PER_SPK):
+            for pos, spk in enumerate(group):
+                turns.append((pos, by_speaker[spk][u]))
+        rng.shuffle(turns)
+        pieces, ref, t = [], [], 0.0
+        for pos, idx in turns:
+            wav = np.asarray(test_ds[idx]["waveform"], np.float32).reshape(-1)
+            pieces.append(wav)
+            ref.append((t, t + len(wav) / sr, pos))
+            t += len(wav) / sr
+        convs.append((np.concatenate(pieces), ref))
+    return convs
+
+
+def run_tier(tier, config_path, ckpt_name, overrides):
+    import numpy as np
+
+    from titanet_tpu.cli import _rebuild_state, _synthetic_kwargs
+    from titanet_tpu.config import load_config
+    from titanet_tpu.data import get_datasets
+    from titanet_tpu.train import checkpoint as ckpt
+    from titanet_tpu.train import ema_eval_state
+    from titanet_tpu.train.diarize import (
+        calibrate_ahc_threshold,
+        diarization_error_rate,
+        diarize,
+    )
+    from titanet_tpu.train.extractor import SpeakerEmbedder
+
+    cfg = load_config(config_path, overrides)
+    _, _, test_ds, n_speakers = get_datasets(
+        cfg.dataset.root, name=cfg.dataset.name,
+        val=cfg.validation.enabled,
+        val_utterances_per_speaker=cfg.validation.num_utterances_per_speaker,
+        test=True, test_speakers=cfg.test.num_speakers,
+        test_utterances_per_speaker=cfg.test.num_utterances_per_speaker,
+        exclusive_test_speakers=cfg.test.exclusive_speakers,
+        **_synthetic_kwargs(cfg),
+    )
+    model, _, frontend, abstract = _rebuild_state(cfg, n_speakers)
+    state, epoch = ckpt.restore_latest(os.path.join(CKPT, ckpt_name), abstract)
+    if state is None:
+        return None
+    state = ema_eval_state(state)
+    embedder = SpeakerEmbedder(
+        model, state.params["backbone"], state.batch_stats, frontend=frontend,
+    )
+    sr = cfg.audio.sample_rate
+
+    # test-split speaker ids present in the subset, stable order
+    sids = sorted({test_ds[i]["speaker_id"] for i in range(len(test_ds))})
+    assert len(sids) >= 2 * N_CONV * SPK_PER_CONV, len(sids)
+    dev_pool = sids[: N_CONV * SPK_PER_CONV]
+    test_pool = sids[N_CONV * SPK_PER_CONV: 2 * N_CONV * SPK_PER_CONV]
+    dev = make_conversations(test_ds, sr, dev_pool, N_CONV, seed=11)
+    tst = make_conversations(test_ds, sr, test_pool, N_CONV, seed=13)
+
+    best_th, sweep = calibrate_ahc_threshold(dev, embedder, sr)
+
+    def mean_der(mode, **kw):
+        ders = []
+        for wav, ref in tst:
+            segs = diarize(wav, sr, embedder, clustering=mode,
+                           max_speakers=8, **kw)
+            ders.append(diarization_error_rate(ref, segs))
+        return float(np.mean(ders)), [round(d, 3) for d in ders]
+
+    nmesc, nmesc_all = mean_der("nmesc")
+    ahc_default, _ = mean_der("ahc", ahc_threshold=0.6)
+    ahc_cal, ahc_all = mean_der("ahc", ahc_threshold=best_th)
+    known_k, _ = mean_der("nmesc", n_speakers=SPK_PER_CONV)
+    return {
+        "tier": tier, "checkpoint": ckpt_name, "epoch": epoch,
+        "ahc_threshold": best_th,
+        "sweep": {f"{k:.2f}": round(v, 4) for k, v in sweep.items()},
+        "der_nmesc_auto": nmesc, "der_nmesc_auto_per_conv": nmesc_all,
+        "der_ahc_default": ahc_default,
+        "der_ahc_calibrated": ahc_cal, "der_ahc_per_conv": ahc_all,
+        "der_nmesc_known_k": known_k,
+    }
+
+
+def main():
+    rows = []
+    tiers = [
+        ("hard", os.path.join(REPO, "configs", "bench21_scaled_eer.yml"),
+         "s21_ecapa_seed42", {"ecapa.enabled": True}),
+    ]
+    if os.path.isdir(os.path.join(CKPT, "e22_ecapa_seed42")):
+        tiers.append(
+            ("easy", os.path.join(REPO, "configs", "bench22_easy_eer.yml"),
+             "e22_ecapa_seed42", {"ecapa.enabled": True}))
+    else:
+        # easy campaign not run yet: hard-trained embedder, easy audio
+        tiers.append(
+            ("easy (hard-trained embedder)",
+             os.path.join(REPO, "configs", "bench22_easy_eer.yml"),
+             "s21_ecapa_seed42", {"ecapa.enabled": True}))
+    for tier, cfgp, name, ov in tiers:
+        row = run_tier(tier, cfgp, name, ov)
+        if row is None:
+            print(f"[skip] {tier}: checkpoint {name} missing")
+            continue
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+    write_md(rows)
+
+
+def write_md(rows):
+    lines = [
+        "# Diarization: calibrated AHC threshold vs NME-SC",
+        "",
+        "Conversations: 5 dev + 5 test per tier, 4 speakers x 3",
+        "utterances each in shuffled turn order, DISJOINT dev/test",
+        "speaker groups drawn from the tier's 40 test-split speakers.",
+        "The AHC stop threshold is swept on the dev conversations",
+        "(train/diarize.py calibrate_ahc_threshold) and applied",
+        "out-of-sample; NME-SC auto-k is the previous default.",
+        "",
+        "| tier | NME-SC auto | AHC @0.6 default | AHC @calibrated "
+        "| calibrated th | NME-SC known-k |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['tier']} | {r['der_nmesc_auto']:.3f} "
+            f"| {r['der_ahc_default']:.3f} | {r['der_ahc_calibrated']:.3f} "
+            f"| {r['ahc_threshold']:.2f} | {r['der_nmesc_known_k']:.3f} |"
+        )
+    lines.append("")
+    for r in rows:
+        d = r["der_nmesc_auto"] - r["der_ahc_calibrated"]
+        lines.append(
+            f"- {r['tier']}: calibration moves DER by {d:+.3f} vs the "
+            f"NME-SC default (threshold sweep: {r['sweep']})."
+        )
+    with open(os.path.join(OUT_DIR, "DER.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -149,6 +149,90 @@ def spectral_cluster(
     return _kmeans(emb, n_speakers, seed=seed)
 
 
+def ahc_cluster(
+    embeddings: np.ndarray,
+    threshold: float,
+    max_speakers: int = 8,
+) -> np.ndarray:
+    """Average-linkage agglomerative clustering on cosine similarity with a
+    calibrated stop threshold — the classic production alternative to
+    NME-SC (e.g. Kaldi/x-vector diarization recipes): merge the two
+    closest clusters while their average pairwise cosine similarity
+    exceeds ``threshold``; the threshold is tuned once on a DEV
+    conversation set (:func:`calibrate_ahc_threshold`) and then carries
+    the operating point explicitly, where NME-SC re-estimates it from
+    each conversation's eigengap (noisy for short or imbalanced
+    conversations).
+
+    O(n^3) worst case on hundreds of windows — host-side trivia next to
+    the embedding compute.
+    """
+    x = np.asarray(embeddings, np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    sim = x @ x.T
+    clusters = [[i] for i in range(n)]
+    # average-linkage similarity between clusters a, b = mean of pairwise
+    # window similarities; maintained incrementally via summed rows
+    while len(clusters) > 1:
+        best, bi, bj = -np.inf, -1, -1
+        for i in range(len(clusters)):
+            for j in range(i + 1, len(clusters)):
+                s = sim[np.ix_(clusters[i], clusters[j])].mean()
+                if s > best:
+                    best, bi, bj = s, i, j
+        if best < threshold and len(clusters) <= max_speakers:
+            break
+        clusters[bi] = clusters[bi] + clusters[bj]
+        del clusters[bj]
+    labels = np.zeros(n, np.int64)
+    for lab, members in enumerate(clusters):
+        labels[members] = lab
+    return labels
+
+
+def calibrate_ahc_threshold(
+    dev_conversations,
+    embedder,
+    sample_rate: int,
+    thresholds: Sequence[float] = tuple(np.arange(0.30, 0.91, 0.05)),
+    window_s: float = 1.5,
+    hop_s: float = 0.75,
+    max_speakers: int = 8,
+) -> Tuple[float, dict]:
+    """Sweep the AHC stop threshold on a DEV set of reference-annotated
+    conversations and return ``(best_threshold, {threshold: mean_DER})``.
+
+    ``dev_conversations``: iterable of ``(waveform, reference_segments)``
+    where reference segments are ``(start_s, end_s, speaker)`` triples.
+    Embeds each conversation ONCE and re-clusters per threshold (the
+    sweep costs host-side clustering only).
+    """
+    wins_per_conv = []
+    for wav, ref in dev_conversations:
+        wav = np.asarray(wav, np.float32).reshape(-1)
+        win = int(window_s * sample_rate)
+        hop = max(1, int(hop_s * sample_rate))
+        starts = list(range(0, max(len(wav) - win, 0) + 1, hop)) or [0]
+        windows = [wav[s:s + win] for s in starts]
+        emb = np.asarray(embedder.embed(windows))
+        t0 = [s / sample_rate for s in starts]
+        t1 = [min(s + win, len(wav)) / sample_rate for s in starts]
+        wins_per_conv.append((emb, t0, t1, ref))
+    sweep = {}
+    for th in thresholds:
+        ders = []
+        for emb, t0, t1, ref in wins_per_conv:
+            labels = ahc_cluster(emb, float(th), max_speakers=max_speakers)
+            hyp = merge_windows(labels, t0, t1)
+            ders.append(diarization_error_rate(ref, hyp))
+        sweep[float(th)] = float(np.mean(ders))
+    best = min(sweep, key=sweep.get)
+    return best, sweep
+
+
 def merge_windows(
     labels: Sequence[int], starts: Sequence[float], ends: Sequence[float]
 ) -> List[Segment]:
@@ -224,15 +308,23 @@ def diarize(
     max_speakers: int = 8,
     seed: int = 0,
     vad: bool = False,
+    clustering: str = "nmesc",
+    ahc_threshold: float = 0.6,
 ) -> List[Segment]:
-    """Full pipeline: [VAD ->] window -> batched embed -> spectral cluster
-    -> merge.
+    """Full pipeline: [VAD ->] window -> batched embed -> cluster -> merge.
 
     ``embedder`` is a :class:`SpeakerEmbedder` (or anything with
     ``embed(list_of_waveforms) -> [N, E]``). With ``vad=True``, windows are
     placed only inside :func:`energy_vad` speech regions and the returned
     segments never cover silence.
+
+    ``clustering``: ``"nmesc"`` (default, per-conversation auto-tuned
+    spectral clustering) or ``"ahc"`` (average-linkage agglomerative with
+    the dev-calibrated ``ahc_threshold`` stop —
+    :func:`calibrate_ahc_threshold`; measured comparison in
+    docs/diarize_bench/DER.md).
     """
+    assert clustering in ("nmesc", "ahc"), clustering
     wav = np.asarray(waveform, np.float32).reshape(-1)
     win = int(window_s * sample_rate)
     hop = max(1, int(hop_s * sample_rate))
@@ -261,9 +353,12 @@ def diarize(
             limits.append(hi)
     windows = [wav[s:min(s + win, hi)] for s, hi in zip(starts, limits)]
     emb = np.asarray(embedder.embed(windows))
-    labels = spectral_cluster(
-        emb, n_speakers=n_speakers, max_speakers=max_speakers, seed=seed
-    )
+    if clustering == "ahc":
+        labels = ahc_cluster(emb, ahc_threshold, max_speakers=max_speakers)
+    else:
+        labels = spectral_cluster(
+            emb, n_speakers=n_speakers, max_speakers=max_speakers, seed=seed
+        )
     # merge per speech region (no merging across silence)
     segments: List[Segment] = []
     for lo, hi in bounds:
