@@ -124,15 +124,19 @@ def _easy_runs():
                      {"training.loss": "ce", "generic.seed": s}))
         runs.append((f"e22_arc_seed{s}",
                      {"training.loss": "arc", "generic.seed": s}))
-    runs.append(("e22_ecapa_seed42",
-                 {"training.loss": "ce", "generic.seed": 42,
-                  "ecapa.enabled": True}))
-    runs.append(("e22_conformer_seed42",
-                 {"training.loss": "ce", "generic.seed": 42,
-                  "conformer.enabled": True}))
-    runs.append(("e22_xvector_seed42",
-                 {"training.loss": "ce", "generic.seed": 42,
-                  "xvector.enabled": True}))
+    # 3-seed bands for the families that LEAD the minDCF ranking —
+    # the "metrics rank systems differently" claim should not rest on
+    # n=1 rows (r4 VERDICT weak item 3's lesson applied to this tier)
+    for s in SEEDS:
+        runs.append((f"e22_ecapa_seed{s}",
+                     {"training.loss": "ce", "generic.seed": s,
+                      "ecapa.enabled": True}))
+        runs.append((f"e22_conformer_seed{s}",
+                     {"training.loss": "ce", "generic.seed": s,
+                      "conformer.enabled": True}))
+        runs.append((f"e22_xvector_seed{s}",
+                     {"training.loss": "ce", "generic.seed": s,
+                      "xvector.enabled": True}))
     return runs
 
 
@@ -338,9 +342,14 @@ def write_easytier(ledger):
             stats.append((label,
                           float(np.mean([v["eer"] for v in sub])),
                           float(np.mean([v["mindcf"] for v in sub])),
-                          len(sub)))
-    for label, eer, dcf, n in stats:
-        lines.append(f"- {label}: EER {eer:.4f}, minDCF {dcf:.3f} (n={n}).")
+                          len(sub),
+                          float(np.std([v["eer"] for v in sub])),
+                          float(np.std([v["mindcf"] for v in sub]))))
+    for label, eer, dcf, n, eer_sd, dcf_sd in stats:
+        lines.append(
+            f"- {label}: EER {eer:.4f} ± {eer_sd:.4f}, "
+            f"minDCF {dcf:.3f} ± {dcf_sd:.3f} (n={n})."
+        )
     if len(stats) >= 2:
         by_eer = [s[0] for s in sorted(stats, key=lambda s: s[1])]
         by_dcf = [s[0] for s in sorted(stats, key=lambda s: s[2])]

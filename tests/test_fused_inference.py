@@ -57,3 +57,20 @@ def test_fused_blocked_time_tiling():
     ref = model.apply(variables, x, train=False)
     out = titanet_apply_fused(model, variables, x, block_t=16)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=5e-4)
+
+
+def test_fused_matches_flax_path_bf16():
+    """model.dtype=bf16 serving: the fused path must honor the compute
+    dtype (round 5 — an f32 activation stream VMEM-OOMs the kernel at
+    B=512 and is 2x the HBM traffic; see BENCHMARKS.md B-sweep)."""
+    model, variables, x = _model_and_vars()
+    model_bf16 = model.clone(dtype=jnp.bfloat16)
+    ref = model_bf16.apply(variables, x, train=False)
+    out = titanet_apply_fused(model_bf16, variables, x)
+    assert out.dtype == jnp.bfloat16
+    ref_n = np.asarray(ref, np.float32)
+    out_n = np.asarray(out, np.float32)
+    cos = (ref_n * out_n).sum(-1) / (
+        np.linalg.norm(ref_n, axis=-1) * np.linalg.norm(out_n, axis=-1)
+    )
+    assert cos.min() > 1 - 1e-3, cos

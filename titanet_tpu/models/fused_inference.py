@@ -22,7 +22,9 @@ from titanet_tpu.ops.pooling import attentive_stats
 
 def _bn_affine(x, p, s, eps=1e-5):
     scale, shift = fold_bn(p["scale"], p["bias"], s["mean"], s["var"], eps)
-    return x * scale + shift
+    # scale/shift are f32 params: compute in f32, return in x's dtype so a
+    # bf16 activation stream stays bf16 (VMEM footprint + MXU path)
+    return (x.astype(jnp.float32) * scale + shift).astype(x.dtype)
 
 
 def _conv_block_eval(x, p, s, activation="relu"):
@@ -32,12 +34,20 @@ def _conv_block_eval(x, p, s, activation="relu"):
         x = jnp.einsum("btc,cf->btf", x, kernel[0].astype(x.dtype))
         x = x + p["conv"]["bias"].astype(x.dtype)
     else:
-        x = conv1d_same(x, kernel, p["conv"]["bias"])
+        x = conv1d_same(
+            x, kernel.astype(x.dtype), p["conv"]["bias"].astype(x.dtype)
+        )
     x = _bn_affine(x, p["norm"], s["norm"])
     return jax.nn.relu(x) if activation == "relu" else x
 
 
-def _stack_mega_params(mp, ms, n_sub: int):
+def _stack_mega_params(mp, ms, n_sub: int, dtype=None):
+    """Pack a mega-block's sub-chain params for the fused kernel.
+
+    ``dtype`` (the activation compute dtype) applies to the pointwise
+    weights only — they feed the kernel's MXU dot against same-dtype
+    activations; the depthwise taps, biases and folded BN vectors stay
+    f32 (they enter the kernel's f32 accumulator directly)."""
     dw_w, dw_b, pw_w, pw_b, bn = [], [], [], [], []
     for i in range(n_sub):
         p = mp[f"sub_block_{i}"]
@@ -51,8 +61,11 @@ def _stack_mega_params(mp, ms, n_sub: int):
             s["norm"]["mean"], s["norm"]["var"],
         )
         bn.append(jnp.stack([scale, shift]))
+    pw = jnp.stack(pw_w)
+    if dtype is not None:
+        pw = pw.astype(dtype)
     return (
-        jnp.stack(dw_w), jnp.stack(dw_b), jnp.stack(pw_w), jnp.stack(pw_b),
+        jnp.stack(dw_w), jnp.stack(dw_b), pw, jnp.stack(pw_b),
         jnp.stack(bn),
     )
 
@@ -69,10 +82,13 @@ def titanet_apply_fused(
     stats = variables["batch_stats"]
     enc_p, enc_s = params["encoder"], stats["encoder"]
 
-    x = _conv_block_eval(mel, enc_p["prolog"], enc_s["prolog"])
+    # honor the model's compute dtype (bf16 serving): the flax path casts
+    # via nn.Conv(dtype=...); here the activation stream itself carries it
+    dt = jnp.dtype(model.dtype) if model.dtype is not None else mel.dtype
+    x = _conv_block_eval(mel.astype(dt), enc_p["prolog"], enc_s["prolog"])
     for i in range(model.n_mega_blocks):
         mp, ms = enc_p[f"mega_block_{i}"], enc_s[f"mega_block_{i}"]
-        packed = _stack_mega_params(mp, ms, model.n_sub_blocks)
+        packed = _stack_mega_params(mp, ms, model.n_sub_blocks, dtype=dt)
         y = fused_sub_blocks(
             x, *packed, kernel_size=model.mega_block_kernel_size, block_t=block_t
         )
