@@ -36,6 +36,11 @@ def main(argv=None):
     ap.add_argument("--hop", type=float, default=0.75)
     ap.add_argument("--known-k", action="store_true",
                     help="pass the true speaker count instead of eigengap")
+    ap.add_argument("--overlap", type=float, default=None, metavar="TH",
+                    help="emit overlapped second speakers: runner-up "
+                         "centroid threshold (calibrate via "
+                         "calibrate_overlap_threshold)")
+    ap.add_argument("--overlap-margin", type=float, default=0.15)
     ap.add_argument("--vad", action="store_true",
                     help="place windows only inside energy-VAD speech regions")
     args = ap.parse_args(argv)
@@ -106,6 +111,7 @@ def main(argv=None):
         audio, sr, embedder, window_s=args.window, hop_s=args.hop,
         n_speakers=args.speakers if args.known_k else None,
         max_speakers=max(8, args.speakers), vad=args.vad,
+        overlap_threshold=args.overlap, overlap_margin=args.overlap_margin,
     )
     der = diarization_error_rate(reference, segments)
     n_found = len({s.speaker for s in segments})

@@ -300,3 +300,100 @@ def test_diarize_ahc_backend_end_to_end():
                    clustering="ahc", ahc_threshold=0.6)
     ref = [(0, 2, 0), (2, 4, 1), (4, 6, 0)]
     assert diarization_error_rate(ref, segs) < 0.25
+
+
+# ------------------------------------------------------------- overlap
+
+
+def test_der_overlap_semantics():
+    """NIST md-eval semantics: denominator is total reference SPEAKER time,
+    a missed overlapped speaker is miss, an over-emitted one is FA."""
+    # two speakers overlapping for 1 s: total ref speaker time = 4 s
+    ref = [(0.0, 2.0, 0), (1.0, 3.0, 1)]
+    assert diarization_error_rate(ref, ref) == 0.0
+    # overlap-blind hypothesis: second speaker only after the first ends
+    hyp = [(0.0, 2.0, 0), (2.0, 3.0, 1)]
+    assert abs(diarization_error_rate(ref, hyp) - 0.25) < 0.01
+    # over-emission: both speakers claimed everywhere -> 2 s spurious / 4 s
+    hyp = [(0.0, 3.0, 0), (0.0, 3.0, 1)]
+    assert abs(diarization_error_rate(ref, hyp) - 0.5) < 0.01
+    # label permutation under overlap still maps optimally
+    hyp = [(0.0, 2.0, 5), (1.0, 3.0, 9)]
+    assert diarization_error_rate(ref, hyp) == 0.0
+
+
+def test_overlap_assign_flags_midpoint_windows():
+    from titanet_tpu.train.diarize import overlap_assign
+
+    e0, e1 = np.eye(8)[0], np.eye(8)[1]
+    mid = (e0 + e1) / np.linalg.norm(e0 + e1)
+    emb = np.stack([e0] * 5 + [e1] * 5 + [mid, mid])
+    labels = np.array([0] * 5 + [1] * 5 + [0, 1])
+    sec = overlap_assign(emb, labels, overlap_threshold=0.6,
+                         overlap_margin=0.3)
+    assert (sec[:10] == -1).all()
+    # the two midpoint windows emit each other's cluster as secondary
+    assert sec[10] == 1 and sec[11] == 0
+    # a stricter threshold suppresses emission entirely
+    sec = overlap_assign(emb, labels, overlap_threshold=0.95,
+                         overlap_margin=0.3)
+    assert (sec == -1).all()
+    # single-cluster input: nothing to emit
+    sec = overlap_assign(emb[:5], np.zeros(5, np.int64), 0.1, 1.0)
+    assert (sec == -1).all()
+
+
+def test_secondary_segments_clip_to_matching_neighbor():
+    from titanet_tpu.train.diarize import _secondary_segments
+
+    primary = [0, 0, 1, 1]
+    t0, t1 = [0.0, 1.0, 2.0, 3.0], [1.0, 2.0, 3.0, 4.0]
+    # window 1 (primary 0) flags speaker 1; its RIGHT neighbor is primary 1
+    # -> the emission clips to the right half of the window
+    sec = np.array([-1, 1, -1, -1])
+    (seg,) = _secondary_segments(sec, primary, t0, t1)
+    assert (seg.start, seg.end, seg.speaker) == (1.5, 2.0, 1)
+    # window 2 (primary 1) flags speaker 0; LEFT neighbor matches -> left half
+    sec = np.array([-1, -1, 0, -1])
+    (seg,) = _secondary_segments(sec, primary, t0, t1)
+    assert (seg.start, seg.end, seg.speaker) == (2.0, 2.5, 0)
+    # consecutive same-speaker emissions merge
+    sec = np.array([-1, 1, 1, -1])
+    segs = _secondary_segments(sec, [0, 0, 0, 1], t0, t1)
+    assert len(segs) == 1 and segs[0].speaker == 1
+
+
+def _overlapped_tone_conversation(sr, overlap_s=0.5):
+    """A(0..2 s) and B(1.5..3.5 s): 0.5 s of genuinely summed speech."""
+    t = np.arange(sr * 2) / sr
+    a = np.sin(2 * np.pi * 200 * t).astype(np.float32)
+    b = np.sin(2 * np.pi * 1500 * t).astype(np.float32)
+    wav = np.zeros(int(3.5 * sr), np.float32)
+    wav[: 2 * sr] += a
+    wav[int(1.5 * sr): int(3.5 * sr)] += b
+    ref = [(0.0, 2.0, 0), (1.5, 3.5, 1)]
+    return wav, ref
+
+
+def test_calibrate_and_diarize_with_overlap_beats_overlap_blind():
+    from titanet_tpu.train.diarize import calibrate_overlap_threshold
+
+    sr = 8000
+    dev = [_overlapped_tone_conversation(sr)]
+    best, sweep = calibrate_overlap_threshold(
+        dev, _ToneEmbedder(), sr, thresholds=(0.4, 0.5, 0.6),
+        margins=(0.1, 0.4), window_s=1.0, hop_s=0.5, n_speakers=2,
+    )
+    # emitting the runner-up speaker must beat overlap-blind output here
+    assert best is not None and sweep[best] < sweep[None]
+    wav, ref = _overlapped_tone_conversation(sr)
+    blind = diarize(wav, sr, _ToneEmbedder(), window_s=1.0, hop_s=0.5,
+                    n_speakers=2)
+    aware = diarize(wav, sr, _ToneEmbedder(), window_s=1.0, hop_s=0.5,
+                    n_speakers=2, overlap_threshold=best[0],
+                    overlap_margin=best[1])
+    assert diarization_error_rate(ref, aware) < diarization_error_rate(
+        ref, blind
+    )
+    # overlap emission adds segments, never removes primary coverage
+    assert len(aware) >= len(blind)

@@ -233,6 +233,138 @@ def calibrate_ahc_threshold(
     return best, sweep
 
 
+def overlap_assign(
+    embeddings: np.ndarray,
+    labels: np.ndarray,
+    overlap_threshold: float,
+    overlap_margin: float = 0.15,
+) -> np.ndarray:
+    """Per-window secondary speaker labels (``-1`` = none): flag windows
+    whose embedding sits *between* two cluster centroids.
+
+    A window containing two simultaneous (or back-to-back) speakers embeds
+    near the midpoint of their centroids, so BOTH centroid cosines are
+    moderately high and close together. A window is flagged when the
+    runner-up centroid's cosine clears ``overlap_threshold`` AND trails the
+    primary's by at most ``overlap_margin``. Both knobs are calibrated on a
+    dev conversation set (:func:`calibrate_overlap_threshold`). This is an
+    embedding-geometry heuristic, not a trained overlap detector — the
+    production upgrade path is an OSD model feeding the same emission
+    machinery.
+    """
+    x = np.asarray(embeddings, np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+    labels = np.asarray(labels, np.int64)
+    sec = np.full(len(x), -1, np.int64)
+    ids = np.unique(labels)
+    if len(ids) < 2:
+        return sec
+    cents = np.stack([x[labels == j].mean(0) for j in ids])
+    cents = cents / np.maximum(
+        np.linalg.norm(cents, axis=-1, keepdims=True), 1e-12
+    )
+    sims = x @ cents.T  # [n_windows, n_clusters]
+    pos = {int(j): p for p, j in enumerate(ids)}
+    for i in range(len(x)):
+        prim = pos[int(labels[i])]
+        rest = np.delete(np.arange(len(ids)), prim)
+        second = rest[int(np.argmax(sims[i, rest]))]
+        if (
+            sims[i, second] >= overlap_threshold
+            and sims[i, prim] - sims[i, second] <= overlap_margin
+        ):
+            sec[i] = int(ids[second])
+    return sec
+
+
+def _secondary_segments(
+    sec: np.ndarray,
+    primary: Sequence[int],
+    starts: Sequence[float],
+    ends: Sequence[float],
+) -> List[Segment]:
+    """Turn per-window secondary labels into segments: consecutive windows
+    emitting the same secondary speaker form one segment. The overlap
+    usually lives at the end of the run facing the neighbor whose PRIMARY
+    label matches the secondary speaker, so that edge window contributes
+    only its inner half (full span when both/neither neighbor matches)."""
+    segs: List[Segment] = []
+    i, n = 0, len(sec)
+    while i < n:
+        s = int(sec[i])
+        if s < 0:
+            i += 1
+            continue
+        j = i
+        while j + 1 < n and int(sec[j + 1]) == s:
+            j += 1
+        lo, hi = float(starts[i]), float(ends[j])
+        nxt = j + 1 < n and int(primary[j + 1]) == s
+        prv = i > 0 and int(primary[i - 1]) == s
+        if nxt and not prv:
+            lo = (float(starts[i]) + float(ends[i])) / 2.0
+        elif prv and not nxt:
+            hi = (float(starts[j]) + float(ends[j])) / 2.0
+        segs.append(Segment(lo, hi, s))
+        i = j + 1
+    return segs
+
+
+def calibrate_overlap_threshold(
+    dev_conversations,
+    embedder,
+    sample_rate: int,
+    thresholds: Sequence[float] = tuple(np.arange(0.40, 0.91, 0.05)),
+    margins: Sequence[float] = (0.05, 0.10, 0.20, 0.35, 0.50),
+    window_s: float = 1.5,
+    hop_s: float = 0.75,
+    max_speakers: int = 8,
+    n_speakers: Optional[int] = None,
+    seed: int = 0,
+) -> Tuple[Optional[Tuple[float, float]], dict]:
+    """Sweep the overlap-emission knobs on a DEV set of conversations whose
+    reference annotations contain overlapped speech; returns
+    ``(best, {params: mean_DER})`` where ``best`` is ``(threshold, margin)``
+    or ``None`` when emitting nothing beats every swept setting (the sweep
+    dict carries the no-emission baseline under key ``None``).
+
+    Embeds and clusters each conversation ONCE (labels do not depend on the
+    overlap knobs); the sweep costs host-side assignment + DER only.
+    """
+    per_conv = []
+    for wav, ref in dev_conversations:
+        wav = np.asarray(wav, np.float32).reshape(-1)
+        win = int(window_s * sample_rate)
+        hop = max(1, int(hop_s * sample_rate))
+        starts = list(range(0, max(len(wav) - win, 0) + 1, hop)) or [0]
+        windows = [wav[s:s + win] for s in starts]
+        emb = np.asarray(embedder.embed(windows))
+        labels = spectral_cluster(
+            emb, n_speakers=n_speakers, max_speakers=max_speakers, seed=seed
+        )
+        t0 = [s / sample_rate for s in starts]
+        t1 = [min(s + win, len(wav)) / sample_rate for s in starts]
+        base = merge_windows(labels, t0, t1)
+        per_conv.append((emb, labels, t0, t1, base, ref))
+    sweep: dict = {}
+    sweep[None] = float(
+        np.mean([
+            diarization_error_rate(ref, base)
+            for _, _, _, _, base, ref in per_conv
+        ])
+    )
+    for th in thresholds:
+        for mg in margins:
+            ders = []
+            for emb, labels, t0, t1, base, ref in per_conv:
+                sec = overlap_assign(emb, labels, float(th), float(mg))
+                hyp = list(base) + _secondary_segments(sec, labels, t0, t1)
+                ders.append(diarization_error_rate(ref, hyp))
+            sweep[(float(th), float(mg))] = float(np.mean(ders))
+    best = min(sweep, key=sweep.get)
+    return best, sweep
+
+
 def merge_windows(
     labels: Sequence[int], starts: Sequence[float], ends: Sequence[float]
 ) -> List[Segment]:
@@ -310,6 +442,8 @@ def diarize(
     vad: bool = False,
     clustering: str = "nmesc",
     ahc_threshold: float = 0.6,
+    overlap_threshold: Optional[float] = None,
+    overlap_margin: float = 0.15,
 ) -> List[Segment]:
     """Full pipeline: [VAD ->] window -> batched embed -> cluster -> merge.
 
@@ -323,6 +457,11 @@ def diarize(
     the dev-calibrated ``ahc_threshold`` stop —
     :func:`calibrate_ahc_threshold`; measured comparison in
     docs/diarize_bench/DER.md).
+
+    With ``overlap_threshold`` set, windows whose embedding sits between two
+    cluster centroids additionally emit the runner-up speaker
+    (:func:`overlap_assign`), so returned segments may overlap — calibrate
+    both knobs on a dev set via :func:`calibrate_overlap_threshold`.
     """
     assert clustering in ("nmesc", "ahc"), clustering
     wav = np.asarray(waveform, np.float32).reshape(-1)
@@ -359,6 +498,11 @@ def diarize(
         labels = spectral_cluster(
             emb, n_speakers=n_speakers, max_speakers=max_speakers, seed=seed
         )
+    sec = (
+        overlap_assign(emb, labels, overlap_threshold, overlap_margin)
+        if overlap_threshold is not None
+        else np.full(len(starts), -1, np.int64)
+    )
     # merge per speech region (no merging across silence)
     segments: List[Segment] = []
     for lo, hi in bounds:
@@ -367,7 +511,9 @@ def diarize(
             continue
         t0 = [starts[j] / sample_rate for j in js]
         t1 = [min(starts[j] + win, hi) / sample_rate for j in js]
-        segments.extend(merge_windows([labels[j] for j in js], t0, t1))
+        labs = [labels[j] for j in js]
+        segments.extend(merge_windows(labs, t0, t1))
+        segments.extend(_secondary_segments(sec[js], labs, t0, t1))
     return segments
 
 
@@ -462,38 +608,47 @@ class OnlineDiarizer:
         return self.segments
 
 
+def _activity_matrix(
+    segments: Sequence[Tuple[float, float, int]], n: int, frame_s: float
+) -> np.ndarray:
+    """``[n_frames, n_speakers]`` boolean speaker-activity matrix (a frame
+    may have several active speakers — overlapping segments stack)."""
+    ids = sorted({int(spk) for _, _, spk in segments})
+    idmap = {spk: i for i, spk in enumerate(ids)}
+    act = np.zeros((n, len(ids)), bool)
+    for s, e, spk in segments:
+        act[int(s / frame_s):int(e / frame_s), idmap[int(spk)]] = True
+    return act
+
+
 def diarization_error_rate(
     reference: Sequence[Tuple[float, float, int]],
     hypothesis: Sequence[Tuple[float, float, int]],
     frame_s: float = 0.01,
 ) -> float:
-    """Frame-based DER with optimal speaker mapping (Hungarian assignment).
+    """Frame-based DER with optimal speaker mapping (Hungarian assignment)
+    and full overlap support (NIST md-eval semantics).
 
     Both inputs are ``(start_s, end_s, speaker)`` triples (``Segment``
-    iterates as one). Single-speaker-per-frame model (no overlap support —
-    matching this diarizer's output space).
+    iterates as one); segments of different speakers may overlap on either
+    side. Per frame the error is ``max(N_ref, N_hyp) - N_correct`` under the
+    optimal one-to-one speaker mapping, and
+    ``DER = sum(error) / sum(N_ref)`` — the denominator is total reference
+    *speaker time*, so an overlapped second speaker that goes undetected
+    counts as miss. For single-speaker frames this reduces to the familiar
+    ``(miss + false_alarm + confusion) / scored_speech``.
     """
     from scipy.optimize import linear_sum_assignment
 
     end = max([e for _, e, _ in reference] + [e for _, e, _ in hypothesis])
     n = int(np.ceil(end / frame_s))
-    ref = np.full(n, -1, np.int64)
-    hyp = np.full(n, -1, np.int64)
-    for s, e, spk in reference:
-        ref[int(s / frame_s):int(e / frame_s)] = spk
-    for s, e, spk in hypothesis:
-        hyp[int(s / frame_s):int(e / frame_s)] = spk
-    both = (ref >= 0) & (hyp >= 0)
-    ref_ids = np.unique(ref[ref >= 0])
-    hyp_ids = np.unique(hyp[hyp >= 0])
-    overlap = np.zeros((len(ref_ids), len(hyp_ids)))
-    for i, r in enumerate(ref_ids):
-        for j, h in enumerate(hyp_ids):
-            overlap[i, j] = np.sum(both & (ref == r) & (hyp == h))
+    ref = _activity_matrix(reference, n, frame_s)  # [n, R]
+    hyp = _activity_matrix(hypothesis, n, frame_s)  # [n, H]
+    # pairwise co-activity time -> optimal speaker mapping
+    overlap = (ref[:, :, None] & hyp[:, None, :]).sum(0)
     ri, hj = linear_sum_assignment(-overlap)
-    correct = overlap[ri, hj].sum()
-    scored = np.sum(ref >= 0)  # reference speech frames
-    miss = np.sum((ref >= 0) & (hyp < 0))
-    fa = np.sum((ref < 0) & (hyp >= 0))
-    confusion = np.sum(both) - correct
-    return float((miss + fa + confusion) / max(scored, 1))
+    correct = int((ref[:, ri] & hyp[:, hj]).sum())
+    n_ref = ref.sum(1)
+    n_hyp = hyp.sum(1)
+    err = int(np.maximum(n_ref, n_hyp).sum()) - correct
+    return float(err / max(int(n_ref.sum()), 1))
