@@ -397,3 +397,99 @@ def test_calibrate_and_diarize_with_overlap_beats_overlap_blind():
     )
     # overlap emission adds segments, never removes primary coverage
     assert len(aware) >= len(blind)
+
+
+def test_rttm_round_trip(tmp_path):
+    from titanet_tpu.train.diarize import read_rttm, write_rttm
+
+    path = str(tmp_path / "out.rttm")
+    a = [Segment(0.0, 2.5, 0), Segment(2.0, 4.0, 1)]  # overlapping
+    b = [Segment(0.5, 1.5, 3)]
+    write_rttm(a, path, uri="conv_a")
+    write_rttm(b, path, uri="conv_b")  # appends
+    back = read_rttm(path)
+    assert set(back) == {"conv_a", "conv_b"}
+    for orig, got in ((a, back["conv_a"]), (b, back["conv_b"])):
+        assert len(got) == len(orig)
+        for s0, s1 in zip(orig, got):
+            assert abs(s0.start - s1.start) < 1e-3
+            assert abs(s0.end - s1.end) < 1e-3
+            assert s0.speaker == s1.speaker  # spk<int> names round-trip
+    # foreign speaker names get sequential per-uri ids
+    with open(path, "w") as f:
+        f.write("SPEAKER m 1 0.000 1.000 <NA> <NA> alice <NA> <NA>\n")
+        f.write("SPEAKER m 1 1.000 1.000 <NA> <NA> bob <NA> <NA>\n")
+        f.write("SPEAKER m 1 2.000 1.000 <NA> <NA> alice <NA> <NA>\n")
+    m = read_rttm(path)["m"]
+    assert [s.speaker for s in m] == [0, 1, 0]
+
+
+def test_cli_diarize_checkpoint(tmp_path):
+    """CLI diarize subcommand end-to-end: train a tiny model, write wavs,
+    restore + diarize + RTTM out (structure, not quality — untrained)."""
+    import jax
+    import jax.numpy as jnp
+
+    from titanet_tpu.cli import diarize_checkpoint
+    from titanet_tpu.config import Config
+    from titanet_tpu.data import ChunkConfig, DataLoader, SyntheticSpeakerDataset
+    from titanet_tpu.data import write_wav
+    from titanet_tpu.losses.heads import build_head
+    from titanet_tpu.models import DumbConvNet
+    from titanet_tpu.ops.frontend import FrontendConfig
+    from titanet_tpu.train import create_train_state, make_optimizer
+    from titanet_tpu.train.diarize import read_rttm
+    from titanet_tpu.train.loop import training_loop
+
+    cfg = Config.from_dict(
+        {
+            "dataset": {"name": "synthetic"},
+            "dumb": {"enabled": True, "n_layers": 1, "hidden_size": 16},
+            "generic": {"embedding_size": 8, "fast_prng": False},
+            "training": {
+                "epochs": 1,
+                "checkpoints_path": str(tmp_path),
+                "checkpoints_frequency": 1,
+            },
+            "validation": {"num_utterances_per_speaker": 2},
+            "test": {"num_speakers": 4, "num_utterances_per_speaker": 2},
+        }
+    )
+    ds = SyntheticSpeakerDataset(
+        n_speakers=8, utterances_per_speaker=8,
+        min_seconds=1.0, max_seconds=1.3,
+    )
+    model = DumbConvNet(hidden_size=16, embedding_size=8, n_layers=1)
+    head = build_head("ce", 8, 8)
+    opt = make_optimizer(start_lr=3e-3)
+    state = create_train_state(
+        jax.random.key(0), model, head, opt, jnp.zeros((2, 101, 80)), 8
+    )
+    loader = DataLoader(ds, batch_size=8, chunk=ChunkConfig(enabled=False),
+                        prefetch=0)
+    training_loop(
+        "diarrun", 1, state, loader, str(tmp_path),
+        model=model, head=head, optimizer=opt,
+        frontend=FrontendConfig.from_ms(),
+        checkpoints_frequency=1,
+    )
+    sr = 16000
+    rng = np.random.default_rng(0)
+    wavs = []
+    for name in ("conv_a", "conv_b"):
+        p = str(tmp_path / f"{name}.wav")
+        write_wav(p, rng.standard_normal(3 * sr).astype(np.float32), sr)
+        wavs.append(p)
+    rttm = str(tmp_path / "out.rttm")
+    results = diarize_checkpoint(
+        cfg, str(tmp_path / "diarrun"), wavs,
+        window_s=1.0, hop_s=0.5, rttm_out=rttm,
+        overlap_threshold=0.9,  # exercises the overlap path too
+    )
+    assert set(results) == set(wavs)
+    assert all(len(v) >= 1 for v in results.values())
+    back = read_rttm(rttm)
+    assert set(back) == {"conv_a", "conv_b"}
+    # RTTM mirrors the returned segments
+    for p, name in zip(wavs, ("conv_a", "conv_b")):
+        assert len(back[name]) == len(results[p])

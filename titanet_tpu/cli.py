@@ -792,6 +792,93 @@ def trials_checkpoint(
     return metrics
 
 
+def diarize_checkpoint(
+    cfg: Config,
+    checkpoint_dir: str,
+    audio_paths: list,
+    epoch: Optional[int] = None,
+    window_s: float = 1.5,
+    hop_s: float = 0.75,
+    n_speakers: Optional[int] = None,
+    max_speakers: int = 8,
+    vad: bool = False,
+    clustering: str = "nmesc",
+    ahc_threshold: float = 0.6,
+    overlap_threshold: Optional[float] = None,
+    overlap_margin: float = 0.15,
+    rttm_out: Optional[str] = None,
+):
+    """CLI ``diarize``: who-spoke-when over audio files with a saved
+    checkpoint (windowed embeddings + clustering —
+    :mod:`titanet_tpu.train.diarize`; no reference counterpart, the
+    standard production companion of a speaker-embedding model). Prints
+    segments per file and optionally writes one RTTM file (uri = the
+    audio file's stem). Returns ``{path: [Segment, ...]}``.
+    """
+    from titanet_tpu.data.audio_io import read_audio
+    from titanet_tpu.data.loader import _resample_host
+    from titanet_tpu.train import checkpoint as ckpt
+    from titanet_tpu.train import ema_eval_state
+    from titanet_tpu.train.diarize import diarize, write_rttm
+    from titanet_tpu.train.extractor import SpeakerEmbedder
+
+    _, _, _, n_train_speakers = get_datasets(
+        cfg.dataset.root,
+        name=cfg.dataset.name,
+        val=cfg.validation.enabled,
+        val_utterances_per_speaker=cfg.validation.num_utterances_per_speaker,
+        test=True,
+        test_speakers=cfg.test.num_speakers,
+        test_utterances_per_speaker=cfg.test.num_utterances_per_speaker,
+        exclusive_test_speakers=cfg.test.exclusive_speakers,
+        **_synthetic_kwargs(cfg),
+    )
+    model, _, frontend, abstract = _rebuild_state(cfg, n_train_speakers)
+    if epoch is None:
+        state, epoch = ckpt.restore_latest(checkpoint_dir, abstract)
+        if state is None:
+            raise FileNotFoundError(f"no checkpoint under {checkpoint_dir}")
+    else:
+        state = ckpt.restore_checkpoint(checkpoint_dir, epoch, abstract)
+    state = ema_eval_state(state)
+    embedder = SpeakerEmbedder(
+        model=model,
+        params=state.params["backbone"],
+        batch_stats=state.batch_stats,
+        frontend=frontend,
+        batch_size=cfg.validation.batch_size,
+    )
+    sample_rate = cfg.audio.sample_rate
+    if rttm_out and os.path.exists(rttm_out):
+        os.remove(rttm_out)  # write_rttm appends per uri
+    results = {}
+    for path in audio_paths:
+        wav, sr = read_audio(path)
+        if wav.ndim == 2:  # [C, T] multi-channel: downmix like the loader
+            wav = wav.mean(axis=0)
+        if sr != sample_rate:
+            wav = _resample_host(wav, sr, sample_rate)
+        segments = diarize(
+            wav, sample_rate, embedder,
+            window_s=window_s, hop_s=hop_s,
+            n_speakers=n_speakers, max_speakers=max_speakers,
+            vad=vad, clustering=clustering, ahc_threshold=ahc_threshold,
+            overlap_threshold=overlap_threshold,
+            overlap_margin=overlap_margin,
+        )
+        results[path] = segments
+        found = len({s.speaker for s in segments})
+        print(f"[{path}: {len(segments)} segments, {found} speakers]")
+        for s in segments:
+            print(f"  {s.start:8.2f}s - {s.end:8.2f}s  speaker {s.speaker}")
+        if rttm_out:
+            uri = os.path.splitext(os.path.basename(path))[0]
+            write_rttm(segments, rttm_out, uri=uri)
+    if rttm_out:
+        print(f"[rttm written to {rttm_out}]")
+    return results
+
+
 def main(argv: Optional[list] = None):
     # Multi-host: bring up the JAX distributed runtime BEFORE any device
     # use when the env contract is present (TITANET_COORDINATOR /
@@ -842,6 +929,32 @@ def main(argv: Optional[list] = None):
                           help="write a DET-curve PNG for the trial scores")
     p_trials.add_argument("-o", "--scores-out", default=None,
                           help="write '<enroll> <test> <score>' lines")
+    p_diar = sub.add_parser(
+        "diarize", help="who-spoke-when over audio files (windowed "
+        "embeddings + clustering), optional RTTM output")
+    p_diar.add_argument("-p", "--params", required=False, default=None)
+    p_diar.add_argument("-c", "--checkpoint-dir", required=True)
+    p_diar.add_argument("-e", "--epoch", type=int, default=None)
+    p_diar.add_argument("--audio", nargs="+", required=True,
+                        help="wav/flac files to diarize")
+    p_diar.add_argument("--rttm", default=None,
+                        help="write NIST RTTM SPEAKER lines here "
+                        "(uri = audio file stem)")
+    p_diar.add_argument("--window", type=float, default=1.5)
+    p_diar.add_argument("--hop", type=float, default=0.75)
+    p_diar.add_argument("--known-k", type=int, default=None,
+                        help="fix the speaker count (default: NME-SC auto)")
+    p_diar.add_argument("--max-speakers", type=int, default=8)
+    p_diar.add_argument("--vad", action="store_true",
+                        help="place windows only inside energy-VAD speech")
+    p_diar.add_argument("--clustering", choices=("nmesc", "ahc"),
+                        default="nmesc")
+    p_diar.add_argument("--ahc-threshold", type=float, default=0.6)
+    p_diar.add_argument("--overlap", type=float, default=None, metavar="TH",
+                        help="emit overlapped second speakers (runner-up "
+                        "centroid threshold; calibrate via "
+                        "train.diarize.calibrate_overlap_threshold)")
+    p_diar.add_argument("--overlap-margin", type=float, default=0.15)
     args = parser.parse_args(argv)
     if args.cmd == "train":
         cfg = load_config(args.params)
@@ -875,6 +988,18 @@ def main(argv: Optional[list] = None):
             audio_root=args.audio_root, cohort_npz=args.cohort,
             cohort_topk=args.cohort_topk, scores_out=args.scores_out,
             det_out=args.det_out,
+        )
+    elif args.cmd == "diarize":
+        cfg = load_config(args.params)
+        diarize_checkpoint(
+            cfg, args.checkpoint_dir, args.audio, args.epoch,
+            window_s=args.window, hop_s=args.hop,
+            n_speakers=args.known_k, max_speakers=args.max_speakers,
+            vad=args.vad, clustering=args.clustering,
+            ahc_threshold=args.ahc_threshold,
+            overlap_threshold=args.overlap,
+            overlap_margin=args.overlap_margin,
+            rttm_out=args.rttm,
         )
 
 

@@ -621,6 +621,53 @@ def _activity_matrix(
     return act
 
 
+def write_rttm(segments, file, uri: str = "audio", channel: int = 1) -> None:
+    """Write segments as NIST RTTM ``SPEAKER`` lines — the diarization
+    interchange format consumed by md-eval/dscore/pyannote:
+
+    ``SPEAKER <uri> <chan> <tbeg> <tdur> <NA> <NA> <name> <NA> <NA>``
+
+    Overlapping segments (``diarize(..., overlap_threshold=...)``) are
+    naturally representable. ``file`` is a path or an open text handle
+    (append-friendly so several uris can share one file)."""
+    own = isinstance(file, (str, bytes))
+    f = open(file, "a") if own else file
+    try:
+        for s, e, spk in segments:
+            f.write(
+                f"SPEAKER {uri} {channel} {s:.3f} {e - s:.3f} "
+                f"<NA> <NA> spk{int(spk)} <NA> <NA>\n"
+            )
+    finally:
+        if own:
+            f.close()
+
+
+def read_rttm(path: str):
+    """Parse an RTTM file into ``{uri: [Segment, ...]}``. Speaker names of
+    the form ``spk<int>`` map to that integer (round-trip with
+    :func:`write_rttm`); any other names get sequential ids per uri in
+    order of first appearance."""
+    out: dict = {}
+    name_ids: dict = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts or parts[0] != "SPEAKER":
+                continue
+            uri, tbeg, tdur, name = parts[1], parts[3], parts[4], parts[7]
+            ids = name_ids.setdefault(uri, {})
+            if name not in ids:
+                if name.startswith("spk") and name[3:].isdigit():
+                    ids[name] = int(name[3:])
+                else:
+                    ids[name] = len(ids)
+            out.setdefault(uri, []).append(
+                Segment(float(tbeg), float(tbeg) + float(tdur), ids[name])
+            )
+    return out
+
+
 def diarization_error_rate(
     reference: Sequence[Tuple[float, float, int]],
     hypothesis: Sequence[Tuple[float, float, int]],
