@@ -194,22 +194,45 @@ def run_tier(tier, config_path, ckpt_name, overrides):
     }
 
 
+def _first_existing(names):
+    for n in names:
+        if os.path.isdir(os.path.join(CKPT, n)):
+            return n
+    return None
+
+
 def main():
     rows = []
-    tiers = [
-        ("hard", os.path.join(REPO, "configs", "bench21_scaled_eer.yml"),
-         "s21_ecapa_seed42", {"ecapa.enabled": True}),
-    ]
-    if os.path.isdir(os.path.join(CKPT, "e22_ecapa_seed42")):
+    # Embedders are ECAPA-TDNN C=512 trained OPEN-SET on each tier
+    # (test.exclusive_speakers: the conversation speakers — drawn from the
+    # test split — are unseen during embedder training). diar_ecapa_hard =
+    # the s21_ecapa_openset_seed42 recipe retrained (campaign checkpoints
+    # are pruned after scoring); train it with:
+    #   python - <<'EOF'
+    #   from titanet_tpu.cli import train
+    #   from titanet_tpu.config import load_config
+    #   train(load_config("configs/bench21_scaled_eer.yml",
+    #         {"ecapa.enabled": True, "generic.seed": 42,
+    #          "test.exclusive_speakers": True,
+    #          "training.run_name": "diar_ecapa_hard"}))
+    #   EOF
+    hard_ck = _first_existing(["diar_ecapa_hard", "s21_ecapa_seed42"])
+    easy_ck = _first_existing(
+        ["e22_ecapa_seed42", "e22_ecapa_seed43", "e22_ecapa_seed44"])
+    tiers = []
+    if hard_ck:
+        ov = {"ecapa.enabled": True}
+        if hard_ck == "diar_ecapa_hard":
+            # open-set-trained embedder: the restore's abstract head must
+            # match the open-set train-speaker count
+            ov["test.exclusive_speakers"] = True
+        tiers.append(
+            ("hard", os.path.join(REPO, "configs", "bench21_scaled_eer.yml"),
+             hard_ck, ov))
+    if easy_ck:
         tiers.append(
             ("easy", os.path.join(REPO, "configs", "bench22_easy_eer.yml"),
-             "e22_ecapa_seed42", {"ecapa.enabled": True}))
-    else:
-        # easy campaign not run yet: hard-trained embedder, easy audio
-        tiers.append(
-            ("easy (hard-trained embedder)",
-             os.path.join(REPO, "configs", "bench22_easy_eer.yml"),
-             "s21_ecapa_seed42", {"ecapa.enabled": True}))
+             easy_ck, {"ecapa.enabled": True}))
     for tier, cfgp, name, ov in tiers:
         row = run_tier(tier, cfgp, name, ov)
         if row is None:
