@@ -9,12 +9,18 @@ Under ``test.exclusive_speakers: true`` the TRAIN split holds only the
 clean by construction: this is the protocol PLDA is actually deployed
 under (fit on a training corpus, score unseen identities).
 
-    python docs/eer_bench/rescore_v3.py [--only PREFIX]
+    python docs/eer_bench/rescore_v3.py [--only PREFIX] [--runs easy]
 
 Writes RESCORE_v3.md: per-family cosine-vs-PLDA table under open-set
 and the round-4 "best scoring stack" headline restated (validated or
 retracted). Reference counterpart: none (the reference scores raw
 cosine only, /root/reference/src/learn.py:437-439).
+
+``--runs easy`` rescopes the same protocol to the easy tier
+(configs/bench22_easy_eer.yml, also open-set): the regime where
+minDCF(p=0.01) is informative (EASYTIER.md), answering whether the
+scoring stacks that win EER also win the strict-FA operating point.
+Writes RESCORE_easy.md.
 """
 
 import argparse
@@ -34,7 +40,7 @@ MAX_PLDA_TRAIN = 4096  # ~19/spk x 216 train-only speakers
 def main():
     import numpy as np
 
-    from run_eer_bench_v3 import _openset_runs  # noqa: E402 (sibling)
+    from run_eer_bench_v3 import _easy_runs, _openset_runs  # noqa: E402
 
     from titanet_tpu.cli import _cohort_loader, _rebuild_state, _synthetic_kwargs
     from titanet_tpu.config import load_config
@@ -51,15 +57,22 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None, help="run-name prefix filter")
+    ap.add_argument("--runs", choices=("openset", "easy"), default="openset")
     args = ap.parse_args()
 
-    ledger_path = os.path.join(OUT_DIR, "rescore_v3.json")
+    easy = args.runs == "easy"
+    config = (os.path.join(REPO, "configs", "bench22_easy_eer.yml")
+              if easy else CONFIG)
+    runs_fn = _easy_runs if easy else _openset_runs
+    writer = write_results_easy if easy else write_results
+    ledger_path = os.path.join(
+        OUT_DIR, "rescore_easy.json" if easy else "rescore_v3.json")
     rows = []
     done = {}
     if os.path.exists(ledger_path):
         rows = json.load(open(ledger_path))
         done = {r["run"]: r for r in rows}
-    for name, overrides in _openset_runs():
+    for name, overrides in runs_fn():
         if args.only and not name.startswith(args.only):
             continue
         if name in done:
@@ -74,7 +87,7 @@ def main():
         overrides.pop("distill.teacher_overrides", None)
         overrides.pop("distill.alpha", None)
         overrides["test.score_norm"] = "asnorm"  # cohort loader on
-        cfg = load_config(CONFIG, overrides)
+        cfg = load_config(config, overrides)
         assert cfg.test.exclusive_speakers, name
         train_ds, _, test_ds, n_speakers = get_datasets(
             cfg.dataset.root, name=cfg.dataset.name,
@@ -147,12 +160,12 @@ def main():
         rows.append(row)
         with open(ledger_path, "w") as f:
             json.dump(rows, f, indent=1)
-        write_results(rows)
+        writer(rows)
 
     if not rows:
-        print("no open-set checkpoints found")
+        print("no matching checkpoints found")
         return
-    write_results(rows)
+    writer(rows)
 
 
 FAMS = [
@@ -227,6 +240,76 @@ def write_results(rows):
             " seen-identity leakage into the fit."
         )
     with open(os.path.join(OUT_DIR, "RESCORE_v3.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+FAMS_EASY = [
+    ("e22_ce_seed", "CE TitaNet-S"),
+    ("e22_arc_seed", "Arc TitaNet-S"),
+    ("e22_ecapa_seed", "ECAPA"),
+    ("e22_conformer_seed", "MFA-Conformer"),
+    ("e22_xvector_seed", "x-vector"),
+]
+
+
+def write_results_easy(rows):
+    import numpy as np
+
+    lines = [
+        "# Scoring backends in the informative-minDCF regime (easy tier)",
+        "",
+        "Every easy-tier run whose checkpoint survives (the campaign",
+        "prunes scored checkpoints), rescored from one restore + one",
+        "embed per run: cosine vs S/AS-norm vs PLDA (full-rank and",
+        "rank-191), fits/cohorts from the TRAIN split only (open-set",
+        "protocol, leakage asserted at runtime). The question EASYTIER.md",
+        "leaves open: do the scoring stacks that win EER also win",
+        "minDCF(p=0.01) where that metric actually discriminates?",
+        "",
+        "| run | EER cos | EER AS | EER PLDA | DCF cos | DCF S "
+        "| DCF AS | DCF PLDA | DCF PLDAr |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['run']} | {r['cosine_eer']:.4f} | {r['asnorm_eer']:.4f} "
+            f"| {r['plda_eer']:.4f} | {r['cosine_mindcf']:.3f} "
+            f"| {r['snorm_mindcf']:.3f} | {r['asnorm_mindcf']:.3f} "
+            f"| {r['plda_mindcf']:.3f} | {r['plda_rank_mindcf']:.3f} |"
+        )
+    lines.append("")
+    for v in ("snorm", "asnorm", "plda", "plda_rank"):
+        de = [r["cosine_eer"] - r[f"{v}_eer"] for r in rows]
+        dd = [r["cosine_mindcf"] - r[f"{v}_mindcf"] for r in rows]
+        lines.append(
+            f"- {v} vs cosine: mean EER delta {np.mean(de):+.4f} "
+            f"(± {np.std(de):.4f}), mean minDCF(p=0.01) delta "
+            f"{np.mean(dd):+.3f} (± {np.std(dd):.3f}, n={len(dd)}; "
+            "positive = better than cosine)."
+        )
+    lines.append("")
+    lines.append("## By family")
+    lines.append("")
+    lines.append(
+        "| family | EER cos | EER best-alt | DCF cos | DCF best-alt "
+        "| best alt |")
+    lines.append("|---|---|---|---|---|---|")
+    variants = ("snorm", "asnorm", "plda", "plda_rank")
+    for prefix, label in FAMS_EASY:
+        sub = [r for r in rows if r["run"].startswith(prefix)]
+        if not sub:
+            continue
+        ce = np.mean([r["cosine_eer"] for r in sub])
+        cd = np.mean([r["cosine_mindcf"] for r in sub])
+        alt = min(variants,
+                  key=lambda v: np.mean([r[f"{v}_mindcf"] for r in sub]))
+        ae = np.mean([r[f"{alt}_eer"] for r in sub])
+        ad = np.mean([r[f"{alt}_mindcf"] for r in sub])
+        lines.append(
+            f"| {label} (n={len(sub)}) | {ce:.4f} | {ae:.4f} | {cd:.3f} "
+            f"| {ad:.3f} | {alt} |"
+        )
+    with open(os.path.join(OUT_DIR, "RESCORE_easy.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
 

@@ -369,6 +369,11 @@ def write_easytier(ledger):
                "spread (vs the 0.95-0.975 saturation of the hard tier) — "
                "the metric is exercised in its informative regime.")
         )
+        lines.append(
+            "- Scoring backends in this regime: RESCORE_easy.md (PLDA "
+            "wins both metrics at once; S/AS-norm trade the strict-FA "
+            "tail away)."
+        )
     with open(os.path.join(OUT_DIR, "EASYTIER.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
