@@ -596,8 +596,12 @@ The production companion of a speaker-embedding model: sliding windows ->
 batched embeddings (`SpeakerEmbedder`) -> NME-SC spectral clustering
 (auto speaker count via the normalized-maximum-eigengap ratio,
 arXiv:1909.01008) -> merged segments, scored with frame-based DER
-(Hungarian label mapping). `examples/diarize.py` is the CLI version;
-`vad=True` adds energy voice-activity detection."""),
+(Hungarian label mapping, overlap-capable). `python -m titanet_tpu
+diarize --audio f.wav --rttm out.rttm` is the CLI version with NIST RTTM
+output; `vad=True` adds energy voice-activity detection;
+`overlap_threshold=` emits overlapped second speakers (calibrate with
+`calibrate_overlap_threshold` — measured honestly null with this
+embedding-geometry detector, docs/diarize_bench/DER.md)."""),
     ("code", """\
 from titanet_tpu.train.diarize import diarization_error_rate, diarize
 
