@@ -61,7 +61,6 @@ def bench_tpu(mel: np.ndarray) -> float:
     x = jnp.asarray(mel, jnp.bfloat16 if dtype else jnp.float32)
     variables = jax.jit(model.init)(jax.random.key(0), x[:1])
 
-    @jax.jit
     def embed(v, x):
         return l2_normalize(model.apply(v, x, train=False).astype(jnp.float32))
 
@@ -94,7 +93,11 @@ def bench_tpu(mel: np.ndarray) -> float:
         _, acc = jax.lax.fori_loop(0, iters, body, (x0, jnp.float32(0.0)))
         return acc
 
-    chain = jax.jit(chained)
+    # Serving-default compiler options (measured win; train/state.py
+    # infer_xla_options docstring + BENCHMARKS.md inference sweep).
+    from titanet_tpu.train.state import infer_xla_options
+
+    chain = jax.jit(chained, compiler_options=infer_xla_options() or None)
     x0 = x.astype(jnp.float32)
     float(chain(variables, x0))  # compile + warm (readback syncs)
     times = []

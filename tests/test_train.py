@@ -334,3 +334,19 @@ def test_train_xla_options(monkeypatch):
     assert train_xla_options() == {}
     monkeypatch.delenv("TITANET_TRAIN_XLA_OPTIONS")
     assert (train_xla_options() == {}) == (jax.default_backend() != "tpu")
+
+
+def test_infer_xla_options(monkeypatch):
+    """Serving twin of the above: env override wins; TPU default never
+    leaks onto other backends (tests run on CPU)."""
+    from titanet_tpu.train.state import infer_xla_options
+
+    monkeypatch.setenv("TITANET_INFER_XLA_OPTIONS",
+                       '{"xla_tpu_async_copy_bandwidth_scaling_factor": "4.0"}')
+    assert infer_xla_options() == {
+        "xla_tpu_async_copy_bandwidth_scaling_factor": "4.0"
+    }
+    monkeypatch.setenv("TITANET_INFER_XLA_OPTIONS", "{}")
+    assert infer_xla_options() == {}
+    monkeypatch.delenv("TITANET_INFER_XLA_OPTIONS")
+    assert (infer_xla_options() == {}) == (jax.default_backend() != "tpu")

@@ -26,6 +26,7 @@ from titanet_tpu.train.state import (  # noqa: F401
     embed_step,
     embed_step_quantized,
     eval_step,
+    infer_xla_options,
     init_metrics_acc,
     make_optimizer,
     train_step,

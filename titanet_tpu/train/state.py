@@ -325,8 +325,47 @@ def eval_step(
     }
 
 
-@functools.partial(jax.jit, static_argnames=("model", "frontend", "masked"))
-def embed_step(
+def infer_xla_options() -> Dict[str, str]:
+    """Per-backend XLA compiler options for the inference/serving step.
+
+    Same lever as :func:`train_xla_options`, re-measured on the serving
+    path: at B=128 bf16 the mel->embedding batch sits VMEM-resident and
+    only the weights stream from HBM, and the more aggressive async-copy
+    schedule wins there too — interleaved A/B on v5e: 2.476 -> 2.457
+    ms/batch (bw=2.0; bw=4.0 statistically tied at 2.449, the shared 2.0
+    constant is kept), losers recorded in BENCHMARKS.md ("Inference
+    compiler-option sweep"). Scheduling only — identical HLO/numerics.
+    Override (or disable with ``{}``) via ``TITANET_INFER_XLA_OPTIONS``
+    as a JSON object.
+    """
+    env = os.environ.get("TITANET_INFER_XLA_OPTIONS")
+    if env is not None:
+        return dict(json.loads(env))
+    if jax.default_backend() == "tpu":
+        return {"xla_tpu_async_copy_bandwidth_scaling_factor": "2.0"}
+    return {}
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_embed_step(options_items: tuple):
+    return jax.jit(
+        _embed_step_impl,
+        static_argnames=("model", "frontend", "masked"),
+        compiler_options=dict(options_items) or None,
+    )
+
+
+def embed_step(params, batch_stats, waveform, lengths, **kwargs):
+    """Inference: wav -> unit-norm embeddings (reference inference-mode
+    forward, src/models.py:332-333). Thin dispatcher so backend-appropriate
+    compiler options (:func:`infer_xla_options`) apply without the caller
+    threading them; jit caching is unaffected (one executable per options
+    set)."""
+    opts = tuple(sorted(infer_xla_options().items()))
+    return _jitted_embed_step(opts)(params, batch_stats, waveform, lengths, **kwargs)
+
+
+def _embed_step_impl(
     params,
     batch_stats,
     waveform: jax.Array,
@@ -336,8 +375,6 @@ def embed_step(
     frontend: FrontendConfig,
     masked: bool = False,
 ):
-    """Inference: wav -> unit-norm embeddings (reference inference-mode
-    forward, src/models.py:332-333)."""
     mel, mask = log_mel_spectrogram(_dequantize_waveform(waveform), frontend, lengths=lengths)
     emb = model.apply(
         {"params": params, "batch_stats": batch_stats},
